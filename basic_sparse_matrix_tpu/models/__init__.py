@@ -1,0 +1,24 @@
+from .cholesky import cholesky, cholesky_auto, cholesky_decomp, cholesky_dense
+from .qr import eigen_values, eigen_values_dense, qr_decomp, qr_dense
+from .solve import solve, solve_dense
+from .triangular import (
+    backward_substitution,
+    forward_substitution,
+    solve_triangular_dense,
+)
+
+__all__ = [
+    "cholesky",
+    "cholesky_auto",
+    "cholesky_decomp",
+    "cholesky_dense",
+    "qr_decomp",
+    "qr_dense",
+    "eigen_values",
+    "eigen_values_dense",
+    "solve",
+    "solve_dense",
+    "forward_substitution",
+    "backward_substitution",
+    "solve_triangular_dense",
+]

@@ -1,0 +1,63 @@
+"""Cholesky factorization.
+
+Reference counterpart: ``cholesky_decomp`` (``/root/reference/src/
+sparse.rs:682-714``) — a scalar Cholesky–Banachiewicz triple loop that
+materialises zero-filled rows of the partially-built factor at every inner
+step. Despite operating on a sparse type, its compute is dense-logic; the
+factor's sparsity is a storage property only. That frees this implementation
+to produce the factor *values* any way that matches.
+
+Paths:
+* :func:`cholesky_dense` — jittable dense factorization (XLA's blocked
+  Cholesky, MXU-tiled). The right tool at reference scale and for dense-ish
+  SPD blocks.
+* :func:`cholesky` — CSR→CSR wrapper with the reference's ``NonSquareMatrix``
+  error; densifies, factors on device, re-sparsifies on host (exact zeros
+  dropped, matching reference storage).
+* Level-scheduled *sparse* numeric factorization for large structured SPD
+  matrices lives in ``models/sparse_cholesky.py`` (symbolic analysis in the
+  native runtime), dispatched by :func:`cholesky_auto`.
+
+Like the reference (no SPD check — NaN propagates on non-SPD input,
+sparse.rs:704), we do not validate positive-definiteness.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.csr import CSR
+from ..utils.errors import NonSquareMatrix, check
+
+
+@jax.jit
+def cholesky_dense(a: jax.Array) -> jax.Array:
+    """Lower-triangular Cholesky factor of a dense SPD matrix."""
+    return jnp.linalg.cholesky(a.astype(jnp.float32))
+
+
+def cholesky(a: CSR) -> CSR:
+    """CSR → CSR lower Cholesky factor — reference ``cholesky_decomp``
+    (sparse.rs:682-714) including its non-square error
+    (sparse.rs:683-685)."""
+    check(a.rows == a.cols, NonSquareMatrix,
+          f"cholesky requires square matrix, got {a.dims}")
+    l_dense = jax.device_get(cholesky_dense(a.todense()))
+    return CSR.from_dense(l_dense)
+
+
+# Parity alias matching the reference method name.
+cholesky_decomp = cholesky
+
+
+def cholesky_auto(a: CSR) -> CSR:
+    """Dispatch between the dense XLA path and the level-scheduled sparse
+    path based on size/density."""
+    check(a.rows == a.cols, NonSquareMatrix,
+          f"cholesky requires square matrix, got {a.dims}")
+    if a.rows <= 2048 or a.get_density() > 0.05:
+        return cholesky(a)
+    from . import sparse_cholesky as _sc
+
+    return _sc.cholesky_sparse(a)

@@ -1,0 +1,58 @@
+"""QR decomposition and QR-iteration eigenvalues.
+
+Reference counterparts: ``qr_decomp`` (``/root/reference/src/
+sparse.rs:716-756``) — explicit Householder deflation driving repeated
+SpGEMMs, submatrix shrinks and re-embeddings (O(n⁴)-ish) — and
+``eigen_values`` (sparse.rs:758-774), unshifted QR iteration with a
+caller-chosen iteration count and no convergence test.
+
+TPU-native: XLA's blocked Householder QR on the densified operand (one
+``jnp.linalg.qr`` call), and the eigenvalue iteration as a ``lax.fori_loop``
+so the whole loop compiles once. The reference's only QR assertion is
+residual-based (``‖A − QR‖₂ < 0.1``, sparse.rs:1380), so sign-convention
+differences are immaterial. These are correctness-tier ops (kept for surface
+parity), not performance-tier.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.csr import CSR
+from ..utils.errors import NonSquareMatrix, check
+
+
+@jax.jit
+def qr_dense(a: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    return jnp.linalg.qr(a.astype(jnp.float32), mode="reduced")
+
+
+def qr_decomp(a: CSR) -> Tuple[CSR, CSR]:
+    """QR of a CSR matrix — reference ``qr_decomp`` (sparse.rs:716-756).
+    Returns (Q, R) as CSR (host re-sparsified, exact zeros dropped)."""
+    q, r = jax.device_get(qr_dense(a.todense()))
+    return CSR.from_dense(q), CSR.from_dense(r)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def eigen_values_dense(a: jax.Array, iterations: int) -> jax.Array:
+    """Unshifted QR iteration: ``A ← R Q`` repeated ``iterations`` times,
+    then the diagonal — reference ``eigen_values`` (sparse.rs:758-774)."""
+
+    def body(_, working):
+        q, r = jnp.linalg.qr(working)
+        return jnp.matmul(r, q, precision=jax.lax.Precision.HIGHEST)
+
+    out = jax.lax.fori_loop(0, iterations, body,
+                            a.astype(jnp.float32))
+    return jnp.diagonal(out)
+
+
+def eigen_values(a: CSR, iterations: int) -> jax.Array:
+    check(a.rows == a.cols, NonSquareMatrix,
+          f"eigen_values requires square matrix, got {a.dims}")
+    return eigen_values_dense(a.todense(), iterations)

@@ -1,0 +1,42 @@
+"""Linear-system solver: Cholesky → forward → backward substitution.
+
+Reference counterpart: ``solve`` (``/root/reference/src/lib.rs:11-24``):
+``A = L·Lᵀ``; ``L y = b``; ``Lᵀ x = y``. The reference transposes L
+explicitly and loops columns of b; here the pipeline is one jit-compiled
+device program (transpose folded into ``solve_triangular``'s trans flag, RHS
+batched).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from ..ops.csr import CSR
+from ..ops.dense import Dense
+from ..utils.errors import IncorrectDimensions, NonSquareMatrix, check
+from .triangular import _as_array
+
+
+@jax.jit
+def solve_dense(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Jittable SPD solve on dense operands: one fused factor+solve
+    pipeline."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    l = jnp.linalg.cholesky(a)
+    y = jsl.solve_triangular(l, b, lower=True)
+    return jsl.solve_triangular(l, y, lower=True, trans=1)
+
+
+def solve(a: CSR, b) -> jax.Array:
+    """Solve ``A x = b`` for SPD sparse ``A`` — reference ``solve``
+    (lib.rs:11-24). ``b`` may be a Dense wrapper, 1D vector, or (n, k)
+    array; returns an (n, k) array."""
+    check(a.rows == a.cols, NonSquareMatrix,
+          f"solve requires square A, got {a.dims}")
+    rhs = _as_array(b)
+    check(rhs.shape[0] == a.rows, IncorrectDimensions,
+          f"solve: A {a.dims} vs b {rhs.shape}")
+    return solve_dense(a.todense(), rhs)

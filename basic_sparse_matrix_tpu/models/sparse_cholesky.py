@@ -1,0 +1,220 @@
+"""Level-scheduled sparse Cholesky (symbolic + numeric split).
+
+Reference counterpart: ``cholesky_decomp`` (``/root/reference/src/
+sparse.rs:682-714``) — a scalar triple loop that rebuilds zero-filled factor
+rows inside the innermost k-loop; it never exploits sparsity for compute.
+The TPU rebuild splits the factorization the standard way (SURVEY.md §7
+step 4):
+
+* **Symbolic phase** (native C++ runtime, ``runtime/symbolic``): elimination
+  tree → fill pattern of L → fan-in levels. Columns whose etree descendants
+  are complete are independent: ``level[j] = 1 + max(level(children))``, so
+  every column of one level factorizes in parallel.
+* **Numeric phase** (jit, device): a *scatter-list* formulation. Every
+  left-looking update ``L[i,j] -= L[i,k]·L[j,k]`` is materialised on the host
+  as an index triple ``(dst, src_a, src_b)`` into L's value array, grouped by
+  the destination column's level. Per level the updates are one gather +
+  multiply + ``segment_sum`` scatter-add; column finalisation (sqrt the
+  diagonal, scale the column) is one more batched step. Wall-clock is
+  O(n_levels) sequential steps; all flops within a level run batched on the
+  VPU.
+
+Because L[j,k] ≠ 0 implies k is a proper etree descendant of j, every source
+column of an update sits in a *strictly earlier* level — the schedule is
+correct by construction.
+
+Scaling note: the scatter list stores 3 int32 per flop, so this formulation
+targets the reference-scale and mid-size SPD regime (e.g. SuiteSparse
+bcsstk/nos*). Very large factors want supernodal dense tiles (future round);
+``cholesky_auto`` dispatches accordingly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.csr import CSR
+from ..runtime import symbolic
+from ..utils.errors import NonSquareMatrix, check
+
+
+@dataclasses.dataclass(frozen=True)
+class CholeskySchedule:
+    """Static numeric-phase schedule (all host-precomputed, padded)."""
+
+    # CSC pattern of L (column-major: for column finalisation the diagonal is
+    # entry 0 of each column).
+    l_col_ptr: np.ndarray     # (n+1,) host
+    l_row_idx: np.ndarray     # (|L|,) host
+    # A-to-L scatter: position in L value array for each kept A entry.
+    a_src_pos: jax.Array      # (nnz_lower_A,) int32 into L values
+    a_vals_idx: jax.Array     # (nnz_lower_A,) int32 into A.values
+    # Update triples grouped by level: upd[level] rows are (dst, src_a, src_b)
+    upd_dst: jax.Array        # (nlev, max_upd) int32, pad → scratch slot
+    upd_a: jax.Array          # (nlev, max_upd) int32
+    upd_b: jax.Array          # (nlev, max_upd) int32
+    # Column finalisation per level.
+    col_pos: jax.Array        # (nlev, max_cols, max_len) int32 positions,
+    #                           entry 0 = diagonal; pad → scratch slot
+    nnz_l: int
+    n: int
+
+
+jax.tree_util.register_dataclass(
+    CholeskySchedule,
+    data_fields=["a_src_pos", "a_vals_idx", "upd_dst", "upd_a", "upd_b",
+                 "col_pos"],
+    meta_fields=["l_col_ptr", "l_row_idx", "nnz_l", "n"],
+)
+
+
+def analyze(a: CSR) -> CholeskySchedule:
+    """Symbolic phase. ``a`` must be square; only its lower triangle is read
+    (symmetry assumed, like the reference)."""
+    check(a.rows == a.cols, NonSquareMatrix, f"cholesky needs square {a.dims}")
+    n = a.rows
+    indptr, indices, values = a.numpy()
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+
+    # Strictly-lower pattern of A for the etree/fill analysis.
+    low = indices < rows
+    low_indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(low_indptr[1:], rows[low], 1)
+    low_indptr = np.cumsum(low_indptr)
+    parent, l_indptr, l_indices = symbolic.chol_symbolic(
+        n, low_indptr, indices[low]
+    )
+
+    # Row-wise L pattern → CSC (column-wise) with diagonal first per column.
+    l_rows = np.repeat(np.arange(n), np.diff(l_indptr))
+    l_cols = l_indices
+    order = np.lexsort((l_rows, l_cols))  # by (col, row); row≥col ⇒ diag first
+    csc_rows, csc_cols = l_rows[order], l_cols[order]
+    nnz_l = csc_rows.shape[0]
+    col_ptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(col_ptr[1:], csc_cols, 1)
+    col_ptr = np.cumsum(col_ptr)
+
+    # position lookup: (row, col) -> index in CSC value array
+    pos_of = {(int(r), int(c)): k for k, (r, c) in
+              enumerate(zip(csc_rows, csc_cols))}
+
+    # A (lower incl. diagonal) scatter positions.
+    keep = indices <= rows
+    a_rows, a_cols = rows[keep], indices[keep]
+    a_vals_idx = np.nonzero(keep)[0]
+    a_src_pos = np.fromiter(
+        (pos_of[(int(r), int(c))] for r, c in zip(a_rows, a_cols)),
+        dtype=np.int64, count=a_rows.shape[0],
+    )
+
+    # Fan-in levels over the etree.
+    level = np.zeros(n, dtype=np.int64)
+    for j in range(n):  # children precede parents (j < parent[j])
+        p = parent[j]
+        if p != -1:
+            level[p] = max(level[p], level[j] + 1)
+    nlev = int(level.max()) + 1 if n else 1
+
+    # Update triples: for column k, for each pair (j, i) of its rows with
+    # j < i (plus j itself): dst=(i,j) src_a=(i,k) src_b=(j,k); grouped by
+    # level[j].
+    upd: list[list[Tuple[int, int, int]]] = [[] for _ in range(nlev)]
+    for k in range(n):
+        lo, hi = int(col_ptr[k]), int(col_ptr[k + 1])
+        rws = csc_rows[lo + 1 : hi]  # strictly-below-diagonal rows
+        m = rws.shape[0]
+        for jj in range(m):
+            j = int(rws[jj])
+            bpos = lo + 1 + jj
+            lvl = int(level[j])
+            for ii in range(jj, m):
+                i = int(rws[ii])
+                upd[lvl].append((pos_of[(i, j)], lo + 1 + ii, bpos))
+
+    max_upd = max((len(u) for u in upd), default=1) or 1
+    scratch = nnz_l  # one scratch slot past the end of L's value array
+    upd_dst = np.full((nlev, max_upd), scratch, dtype=np.int32)
+    upd_a = np.full((nlev, max_upd), scratch, dtype=np.int32)
+    upd_b = np.full((nlev, max_upd), scratch, dtype=np.int32)
+    for lv, u in enumerate(upd):
+        if u:
+            arr = np.asarray(u, dtype=np.int32)
+            upd_dst[lv, : len(u)] = arr[:, 0]
+            upd_a[lv, : len(u)] = arr[:, 1]
+            upd_b[lv, : len(u)] = arr[:, 2]
+
+    # Column finalisation tables.
+    cols_of_level = [np.nonzero(level == lv)[0] for lv in range(nlev)]
+    max_cols = max(len(c) for c in cols_of_level)
+    col_len = np.diff(col_ptr)
+    max_len = int(col_len.max()) if n else 1
+    col_pos = np.full((nlev, max_cols, max_len), scratch, dtype=np.int32)
+    for lv, cols_ in enumerate(cols_of_level):
+        for c, j in enumerate(cols_):
+            lo, hi = int(col_ptr[j]), int(col_ptr[j + 1])
+            col_pos[lv, c, : hi - lo] = np.arange(lo, hi, dtype=np.int32)
+
+    return CholeskySchedule(
+        l_col_ptr=col_ptr,
+        l_row_idx=csc_rows,
+        a_src_pos=jnp.asarray(a_src_pos.astype(np.int32)),
+        a_vals_idx=jnp.asarray(a_vals_idx.astype(np.int32)),
+        upd_dst=jnp.asarray(upd_dst),
+        upd_a=jnp.asarray(upd_a),
+        upd_b=jnp.asarray(upd_b),
+        col_pos=jnp.asarray(col_pos),
+        nnz_l=nnz_l,
+        n=n,
+    )
+
+
+@jax.jit
+def factorize(sched: CholeskySchedule, a_values: jax.Array) -> jax.Array:
+    """Numeric phase: returns L's CSC value array (length ``nnz_l``)."""
+    # Value array with one trailing scratch slot absorbing padded updates.
+    lvals = jnp.zeros(sched.nnz_l + 1, dtype=jnp.float32)
+    lvals = lvals.at[sched.a_src_pos].add(
+        a_values[sched.a_vals_idx].astype(jnp.float32)
+    )
+    nlev = sched.upd_dst.shape[0]
+
+    def level_step(lv, lvals):
+        # Apply every update targeting this level's columns.
+        delta = lvals[sched.upd_a[lv]] * lvals[sched.upd_b[lv]]
+        lvals = lvals.at[sched.upd_dst[lv]].add(-delta)
+        lvals = lvals.at[-1].set(0.0)
+        # Finalise this level's columns: sqrt diagonal, scale below-diagonal.
+        pos = sched.col_pos[lv]                    # (C, Lmax)
+        colv = lvals[pos]                          # (C, Lmax)
+        diag = jnp.sqrt(colv[:, 0])
+        inv = jnp.where(diag > 0, 1.0 / jnp.maximum(diag, 1e-30), 0.0)
+        new = jnp.concatenate(
+            [diag[:, None], colv[:, 1:] * inv[:, None]], axis=1
+        )
+        lvals = lvals.at[pos].set(new)
+        return lvals.at[-1].set(0.0)
+
+    lvals = jax.lax.fori_loop(0, nlev, level_step, lvals)
+    return lvals[:-1]
+
+
+def csc_to_csr_l(sched: CholeskySchedule, lvals: np.ndarray) -> CSR:
+    """Assemble the factor as a row-major CSR (host)."""
+    n = sched.n
+    cols = np.repeat(np.arange(n), np.diff(sched.l_col_ptr))
+    return CSR.from_coo_arrays((n, n), sched.l_row_idx, cols,
+                               np.asarray(lvals), sum_duplicates=False,
+                               drop_zeros=False)
+
+
+def cholesky_sparse(a: CSR) -> CSR:
+    """End-to-end sparse Cholesky: symbolic + numeric + assembly."""
+    sched = analyze(a)
+    lvals = jax.device_get(factorize(sched, a.values))
+    return csc_to_csr_l(sched, lvals)

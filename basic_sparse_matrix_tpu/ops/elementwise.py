@@ -1,0 +1,101 @@
+"""Elementwise sparse algebra: add, sub, scalar multiply, reductions.
+
+Reference counterparts:
+* ``add_sparse`` / ``sub_sparse`` — per-row two-pointer sorted merges
+  (``/root/reference/src/sparse.rs:484-599``). Here: concatenate the two
+  entry lists, lexsort by (row, col), and merge duplicate coordinates with a
+  sorted-run segment-sum — one XLA sort + scan instead of nested scalar loops.
+  Output capacity is statically ``nnz_a + nnz_b`` (duplicate slots hold
+  explicit zeros; ``CSR.compacted()`` restores exact-nnz storage).
+* ``mul_scalar`` (sparse.rs:645-652), ``sum_elements`` (sparse.rs:637-643),
+  ``l2_norm`` (sparse.rs:678-680) — direct maps/reductions over the value
+  array.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.errors import IncorrectDimensions, check
+from .csr import CSR
+
+
+def _merge(a: CSR, b: CSR, b_sign: int) -> CSR:
+    rows = jnp.concatenate([a.row_ids(), b.row_ids()])
+    cols = jnp.concatenate([a.indices, b.indices])
+    vals = jnp.concatenate(
+        [a.values, b.values if b_sign > 0 else -b.values]
+    )
+    n = vals.shape[0]
+    if n == 0:
+        return CSR.empty(a.dims, dtype=vals.dtype)
+
+    key = rows.astype(jnp.int64) * a.cols + cols.astype(jnp.int64)
+    order = jnp.argsort(key, stable=True)
+    key, rows, cols, vals = key[order], rows[order], cols[order], vals[order]
+
+    # Duplicate-coordinate merge on sorted keys: the first entry of each equal
+    # run absorbs the run's sum; later entries of the run are zeroed in place
+    # (their coordinates remain — harmless explicit zeros at static capacity).
+    first = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), key[1:] != key[:-1]]
+    )
+    seg = jnp.cumsum(first) - 1  # dense run ids, sorted
+    summed = jax.ops.segment_sum(vals, seg, num_segments=n,
+                                 indices_are_sorted=True)
+    vals = jnp.where(first, summed[seg], jnp.zeros_like(vals))
+
+    counts = jnp.zeros(a.rows, dtype=jnp.int32).at[rows].add(1)
+    indptr = jnp.concatenate(
+        [jnp.zeros(1, dtype=jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    return CSR(indptr=indptr, indices=cols, values=vals,
+               rows=a.rows, cols=a.cols)
+
+
+_merge_jit = jax.jit(_merge, static_argnums=2)
+
+
+def add(a: CSR, b: CSR) -> CSR:
+    """Sparse + sparse — reference ``add_sparse`` (sparse.rs:484-540)."""
+    check(a.shape == b.shape, IncorrectDimensions,
+          f"add_sparse dims {a.dims} vs {b.dims}")
+    return _merge_jit(a, b, 1)
+
+
+def sub(a: CSR, b: CSR) -> CSR:
+    """Sparse − sparse — reference ``sub_sparse`` (sparse.rs:542-599)."""
+    check(a.shape == b.shape, IncorrectDimensions,
+          f"sub_sparse dims {a.dims} vs {b.dims}")
+    return _merge_jit(a, b, -1)
+
+
+# Parity aliases.
+add_sparse = add
+sub_sparse = sub
+
+
+@jax.jit
+def mul_scalar(a: CSR, s) -> CSR:
+    """Scale all stored values — reference ``mul_scalar``
+    (sparse.rs:645-652)."""
+    return CSR(indptr=a.indptr, indices=a.indices,
+               values=a.values * jnp.asarray(s, dtype=a.dtype),
+               rows=a.rows, cols=a.cols)
+
+
+@jax.jit
+def sum_elements(a: CSR):
+    """Sum of stored values — reference ``sum_elements``
+    (sparse.rs:637-643)."""
+    return jnp.sum(a.values)
+
+
+@jax.jit
+def l2_norm(a: CSR):
+    """Frobenius norm of stored values — reference ``l2_norm``
+    (sparse.rs:678-680)."""
+    return jnp.sqrt(jnp.sum(a.values.astype(jnp.float32) ** 2))

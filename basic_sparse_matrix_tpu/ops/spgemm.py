@@ -1,0 +1,120 @@
+"""SpGEMM (sparse × sparse).
+
+Reference counterpart: ``mul_sparse`` (``/root/reference/src/
+sparse.rs:601-635``) — transposes the RHS then runs a two-pointer merge dot
+product over the *entire dense output space*, O(m·n·nnz/row). The reference
+README lists sparse×sparse as an open TODO (README.md:23) yet ships and
+benches this implementation.
+
+TPU-native strategy: SpGEMM output sparsity is data-dependent, which fights
+XLA's static-shape model. We provide:
+
+* :func:`spgemm_dense` — jittable: gather rows of B^dense by A's column
+  indices and segment-sum (i.e. SpMM against the densified RHS). At reference
+  bench scale (1000×1000) this rides the gather/segment path or MXU and is
+  orders of magnitude faster than merge loops.
+* :func:`spgemm` — host wrapper returning a CSR with exact zeros dropped,
+  matching the reference's ``val != default`` skip (sparse.rs:628-630).
+* :func:`spgemm_bounded` — jittable sparse-output path with a static output
+  capacity: expands A's entries against B's rows at a fixed per-row budget.
+  Used when the densified RHS would not fit (large n).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.errors import IncorrectDimensions, check
+from .csr import CSR
+from .spmm import spmm
+
+
+@jax.jit
+def spgemm_dense(a: CSR, b: CSR) -> jax.Array:
+    """Dense product of two sparse operands (jittable)."""
+    return spmm(a, b.todense())
+
+
+def spgemm(a: CSR, b: CSR) -> CSR:
+    """Sparse × sparse → CSR — reference ``mul_sparse`` (sparse.rs:601-635).
+
+    Note: the reference performs *no* inner-dimension check (unlike
+    ``mul_dense``); we add one, since silent garbage is not an API worth
+    preserving.
+    """
+    check(a.cols == b.rows, IncorrectDimensions,
+          f"mul_sparse: {a.dims} × {b.dims}")
+    return CSR.from_dense(jax.device_get(spgemm_dense(a, b)))
+
+
+# Parity alias.
+mul_sparse = spgemm
+
+
+def spgemm_bounded(a: CSR, b: CSR, out_capacity: int) -> CSR:
+    """Static-capacity sparse-output SpGEMM.
+
+    Every stored entry ``A[i,k]`` contributes ``A[i,k] * B[k, :]`` to output
+    row ``i``. We expand those contributions entry-by-entry against B's rows
+    at B's max row length, then merge duplicates by (row, col) sort — the
+    same machinery as :func:`elementwise.add`. ``out_capacity`` bounds the
+    expanded entry count: ``nnz(A) * max_row_nnz(B)`` always suffices.
+
+    Jittable for fixed ``out_capacity``; returns capacity-padded CSR (use
+    ``.compacted()`` on host for exact storage).
+    """
+    check(a.cols == b.rows, IncorrectDimensions,
+          f"spgemm_bounded: {a.dims} × {b.dims}")
+    import numpy as np
+
+    b_indptr = np.asarray(b.indptr)
+    max_b_row = int(np.max(np.diff(b_indptr))) if b.stored else 0
+    expanded = a.stored * max_b_row
+    check(out_capacity >= expanded, IncorrectDimensions,
+          f"out_capacity {out_capacity} < worst case {expanded}")
+    return _spgemm_bounded_jit(a, b, max_b_row)
+
+
+def _expand(a: CSR, b: CSR, max_b_row: int):
+    # For each stored entry (i, k, v) of A, gather B's row k padded to
+    # max_b_row: (cols, vals, valid-mask).
+    starts = b.indptr[a.indices]                          # (nnz_a,)
+    lens = b.indptr[a.indices + 1] - starts               # (nnz_a,)
+    offs = jnp.arange(max_b_row, dtype=jnp.int32)          # (L,)
+    gather_pos = jnp.clip(starts[:, None] + offs[None, :], 0,
+                          max(b.stored - 1, 0))
+    valid = offs[None, :] < lens[:, None]
+    out_rows = jnp.broadcast_to(a.row_ids()[:, None], gather_pos.shape)
+    out_cols = b.indices[gather_pos]
+    out_vals = a.values[:, None] * b.values[gather_pos]
+    out_vals = jnp.where(valid, out_vals, jnp.zeros_like(out_vals))
+    # Invalid slots: park at (row, col) of the entry's own row, col 0, value 0
+    # — harmless explicit zeros.
+    out_cols = jnp.where(valid, out_cols, jnp.zeros_like(out_cols))
+    return out_rows.ravel(), out_cols.ravel(), out_vals.ravel()
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=2)
+def _spgemm_bounded_jit(a: CSR, b: CSR, max_b_row: int) -> CSR:
+    if max_b_row == 0 or a.stored == 0:
+        return CSR.empty((a.rows, b.cols), dtype=a.dtype)
+    rows, cols, vals = _expand(a, b, max_b_row)
+    n = vals.shape[0]
+    key = rows.astype(jnp.int64) * b.cols + cols.astype(jnp.int64)
+    order = jnp.argsort(key, stable=True)
+    key, rows, cols, vals = key[order], rows[order], cols[order], vals[order]
+    first = jnp.concatenate([jnp.ones(1, dtype=bool), key[1:] != key[:-1]])
+    seg = jnp.cumsum(first) - 1
+    summed = jax.ops.segment_sum(vals, seg, num_segments=n,
+                                 indices_are_sorted=True)
+    vals = jnp.where(first, summed[seg], jnp.zeros_like(vals))
+    counts = jnp.zeros(a.rows, dtype=jnp.int32).at[rows].add(1)
+    indptr = jnp.concatenate(
+        [jnp.zeros(1, dtype=jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    return CSR(indptr=indptr, indices=cols, values=vals,
+               rows=a.rows, cols=b.cols)
