@@ -45,12 +45,14 @@ from ..utils.errors import NonSquareMatrix, check
 
 @dataclasses.dataclass(frozen=True)
 class CholeskySchedule:
-    """Static numeric-phase schedule (all host-precomputed, padded)."""
+    """Static numeric-phase schedule (all host-precomputed, padded).
 
-    # CSC pattern of L (column-major: for column finalisation the diagonal is
-    # entry 0 of each column).
-    l_col_ptr: np.ndarray     # (n+1,) host
-    l_row_idx: np.ndarray     # (|L|,) host
+    The CSC pattern of L (``l_col_ptr``/``l_row_idx``, host numpy, diagonal
+    first per column) is attached post-construction as plain attributes —
+    it is host-only assembly metadata and must stay out of the pytree
+    (numpy arrays are not hashable jit metadata).
+    """
+
     # A-to-L scatter: position in L value array for each kept A entry.
     a_src_pos: jax.Array      # (nnz_lower_A,) int32 into L values
     a_vals_idx: jax.Array     # (nnz_lower_A,) int32 into A.values
@@ -69,7 +71,7 @@ jax.tree_util.register_dataclass(
     CholeskySchedule,
     data_fields=["a_src_pos", "a_vals_idx", "upd_dst", "upd_a", "upd_b",
                  "col_pos"],
-    meta_fields=["l_col_ptr", "l_row_idx", "nnz_l", "n"],
+    meta_fields=["nnz_l", "n"],
 )
 
 
@@ -160,9 +162,7 @@ def analyze(a: CSR) -> CholeskySchedule:
             lo, hi = int(col_ptr[j]), int(col_ptr[j + 1])
             col_pos[lv, c, : hi - lo] = np.arange(lo, hi, dtype=np.int32)
 
-    return CholeskySchedule(
-        l_col_ptr=col_ptr,
-        l_row_idx=csc_rows,
+    sched = CholeskySchedule(
         a_src_pos=jnp.asarray(a_src_pos.astype(np.int32)),
         a_vals_idx=jnp.asarray(a_vals_idx.astype(np.int32)),
         upd_dst=jnp.asarray(upd_dst),
@@ -172,6 +172,9 @@ def analyze(a: CSR) -> CholeskySchedule:
         nnz_l=nnz_l,
         n=n,
     )
+    object.__setattr__(sched, "l_col_ptr", col_ptr)
+    object.__setattr__(sched, "l_row_idx", csc_rows)
+    return sched
 
 
 @jax.jit

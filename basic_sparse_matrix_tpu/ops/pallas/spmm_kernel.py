@@ -74,17 +74,20 @@ def csr_to_bsr(a: CSR) -> BSR:
     rows = np.repeat(np.arange(a.rows), np.diff(indptr))
     brow = rows // BM
     bcol = indices // BK
-    bkey = brow.astype(np.int64) * (-(-a.cols // BK)) + bcol
+    ncb = -(-a.cols // BK)
+    nrb = -(-a.rows // BM)
+    bkey = brow.astype(np.int64) * ncb + bcol
+    # Every block-row must appear at least once: the kernel writes output
+    # tiles only for visited blocks, so an absent block-row would leave its
+    # output tile uninitialised. Seed a zero block at column 0 of each row.
+    bkey = np.concatenate([bkey, np.arange(nrb, dtype=np.int64) * ncb])
     uniq, inv = np.unique(bkey, return_inverse=True)
-    nblocks = max(int(uniq.shape[0]), 1)
+    inv = inv[: rows.shape[0]]
+    nblocks = int(uniq.shape[0])
     blocks = np.zeros((nblocks, BM, BK), dtype=values.dtype)
     np.add.at(blocks, (inv, rows % BM, indices % BK), values)
-    ncb = -(-a.cols // BK)
     block_rows = (uniq // ncb).astype(np.int32)
     block_cols = (uniq % ncb).astype(np.int32)
-    if uniq.shape[0] == 0:
-        block_rows = np.zeros(1, dtype=np.int32)
-        block_cols = np.zeros(1, dtype=np.int32)
     return BSR(
         blocks=jnp.asarray(blocks),
         block_rows=jnp.asarray(block_rows),

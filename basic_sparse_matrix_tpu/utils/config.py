@@ -1,0 +1,73 @@
+"""Configuration system.
+
+The reference has no config surface at all — its only knobs are function
+arguments and Cargo build profiles (SURVEY.md §5). Here a frozen dataclass
+carries the framework-wide knobs (tile sizes, dtype policy, dispatch
+thresholds, mesh shape) with env-var overrides (``BSM_*``) and an argparse
+helper for the bench/driver scripts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # Pallas BSR kernel tiles (f32 MXU alignment: 8 sublanes × 128 lanes).
+    bsr_block_rows: int = 8
+    bsr_block_cols: int = 128
+    rhs_tile: int = 128
+    # Dispatch thresholds.
+    bsr_min_fill: float = 0.02      # block fill below which gather path wins
+    dense_cholesky_max_n: int = 2048
+    dense_cholesky_min_density: float = 0.05
+    # Numerics.
+    matmul_precision: str = "highest"  # this env quantizes default matmuls
+    solve_dtype: str = "float32"
+    # Distribution.
+    mesh_shape: Optional[Tuple[int, ...]] = None  # None = 1D over all devices
+
+    @staticmethod
+    def from_env(base: Optional["Config"] = None) -> "Config":
+        cfg = base or Config()
+        overrides = {}
+        for f in dataclasses.fields(Config):
+            env = os.environ.get(f"BSM_{f.name.upper()}")
+            if env is None:
+                continue
+            if f.type in ("int", int):
+                overrides[f.name] = int(env)
+            elif f.type in ("float", float):
+                overrides[f.name] = float(env)
+            else:
+                overrides[f.name] = env
+        return dataclasses.replace(cfg, **overrides)
+
+    def add_cli_args(self, parser: argparse.ArgumentParser) -> None:
+        for f in dataclasses.fields(Config):
+            default = getattr(self, f.name)
+            parser.add_argument(
+                f"--{f.name.replace('_', '-')}", default=default,
+                type=type(default) if default is not None else str,
+            )
+
+    @staticmethod
+    def from_args(args: argparse.Namespace) -> "Config":
+        names = {f.name for f in dataclasses.fields(Config)}
+        return Config(**{k: v for k, v in vars(args).items() if k in names})
+
+
+_config = Config.from_env()
+
+
+def get_config() -> Config:
+    return _config
+
+
+def set_config(cfg: Config) -> None:
+    global _config
+    _config = cfg

@@ -1,0 +1,84 @@
+"""Pallas BSR SpMM kernel tests (interpret mode on the CPU backend; the
+same kernel compiles for TPU via Mosaic)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from basic_sparse_matrix_tpu import CSR
+from basic_sparse_matrix_tpu.ops.pallas.spmm_kernel import (
+    BM,
+    BK,
+    BSR,
+    bsr_profitable,
+    csr_to_bsr,
+    spmm_bsr,
+    spmm_bsr_from_csr,
+)
+
+
+def _case(rng, rows, cols, density, n_rhs):
+    d = ((rng.random((rows, cols)) < density)
+         * rng.standard_normal((rows, cols))).astype(np.float32)
+    b = rng.standard_normal((cols, n_rhs)).astype(np.float32)
+    return d, b
+
+
+@pytest.mark.parametrize(
+    "rows,cols,density,n_rhs",
+    [
+        (128, 256, 0.05, 128),   # tile-aligned
+        (100, 200, 0.1, 64),     # unaligned everything
+        (8, 128, 1.0, 128),      # single dense block
+        (1000, 1000, 0.01, 10),  # reference bench shape
+        (64, 64, 0.0, 32),       # empty matrix
+    ],
+)
+def test_bsr_kernel_matches_oracle(rows, cols, density, n_rhs):
+    rng = np.random.default_rng(42)
+    d, b = _case(rng, rows, cols, density, n_rhs)
+    a = CSR.from_dense(d)
+    bsr = csr_to_bsr(a)
+    out = np.asarray(spmm_bsr(bsr, jnp.asarray(b)))
+    assert out.shape == (rows, n_rhs)
+    assert np.allclose(out, d @ b, rtol=1e-4, atol=1e-4)
+
+
+def test_bsr_structure():
+    # block decomposition bookkeeping
+    d = np.zeros((16, 256), dtype=np.float32)
+    d[0, 0] = 1.0       # block (0, 0)
+    d[9, 130] = 2.0     # block (1, 1)
+    d[15, 255] = 3.0    # block (1, 1)
+    bsr = csr_to_bsr(CSR.from_dense(d))
+    # 2 data blocks + 1 seeded zero block at (1, 0) so every block-row's
+    # output tile gets written
+    assert bsr.nblocks == 3
+    rows = np.asarray(bsr.block_rows).tolist()
+    cols = np.asarray(bsr.block_cols).tolist()
+    assert rows == [0, 1, 1] and cols == [0, 0, 1]
+    blocks = np.asarray(bsr.blocks)
+    assert blocks[0, 0, 0] == 1.0
+    assert np.all(blocks[1] == 0)
+    assert blocks[2, 9 % BM, 130 % BK] == 2.0
+    assert blocks[2, 15 % BM, 255 % BK] == 3.0
+
+
+def test_memoised_csr_entrypoint():
+    rng = np.random.default_rng(1)
+    d, b = _case(rng, 64, 128, 0.2, 128)
+    a = CSR.from_dense(d)
+    out1 = np.asarray(spmm_bsr_from_csr(a, jnp.asarray(b)))
+    assert hasattr(a, "_bsr_cache")
+    out2 = np.asarray(spmm_bsr_from_csr(a, jnp.asarray(b)))
+    assert np.allclose(out1, out2)
+    assert np.allclose(out1, d @ b, rtol=1e-4, atol=1e-4)
+
+
+def test_profitability_heuristic():
+    rng = np.random.default_rng(2)
+    dense_d, _ = _case(rng, 64, 128, 0.9, 128)
+    a = CSR.from_dense(dense_d)
+    # on CPU backends the kernel runs interpreted → never "profitable"
+    assert bsr_profitable(a, 128) == (jax.default_backend() == "tpu")
