@@ -1,5 +1,6 @@
 from .cholesky import cholesky, cholesky_auto, cholesky_decomp, cholesky_dense
 from .qr import eigen_values, eigen_values_dense, qr_decomp, qr_dense
+from .pcg import PCGSetup, pcg_solve
 from .solve import solve, solve_dense
 from .triangular import (
     backward_substitution,
@@ -18,6 +19,8 @@ __all__ = [
     "eigen_values_dense",
     "solve",
     "solve_dense",
+    "pcg_solve",
+    "PCGSetup",
     "forward_substitution",
     "backward_substitution",
     "solve_triangular_dense",

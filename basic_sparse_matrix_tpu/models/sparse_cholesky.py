@@ -75,9 +75,15 @@ jax.tree_util.register_dataclass(
 )
 
 
-def analyze(a: CSR) -> CholeskySchedule:
+def analyze(a: CSR, *, incomplete: bool = False) -> CholeskySchedule:
     """Symbolic phase. ``a`` must be square; only its lower triangle is read
-    (symmetry assumed, like the reference)."""
+    (symmetry assumed, like the reference).
+
+    ``incomplete=True`` produces the **IC(0)** schedule: the factor pattern
+    is restricted to A's own lower pattern (no fill), and update triples
+    whose destination falls outside it are dropped — the standard
+    incomplete-Cholesky preconditioner for :mod:`models.pcg`.
+    """
     check(a.rows == a.cols, NonSquareMatrix, f"cholesky needs square {a.dims}")
     n = a.rows
     indptr, indices, values = a.numpy()
@@ -88,9 +94,21 @@ def analyze(a: CSR) -> CholeskySchedule:
     low_indptr = np.zeros(n + 1, dtype=np.int64)
     np.add.at(low_indptr[1:], rows[low], 1)
     low_indptr = np.cumsum(low_indptr)
-    parent, l_indptr, l_indices = symbolic.chol_symbolic(
-        n, low_indptr, indices[low]
-    )
+    if incomplete:
+        parent = symbolic.etree(n, low_indptr, indices[low])
+        # No-fill pattern: A's lower triangle plus an always-present diagonal.
+        keep_low = indices <= rows
+        pr = np.concatenate([rows[keep_low], np.arange(n)])
+        pc = np.concatenate([indices[keep_low], np.arange(n)])
+        pk = np.unique(pr * n + pc)
+        l_rows_flat, l_indices = pk // n, pk % n
+        l_indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(l_indptr[1:], l_rows_flat, 1)
+        l_indptr = np.cumsum(l_indptr)
+    else:
+        parent, l_indptr, l_indices = symbolic.chol_symbolic(
+            n, low_indptr, indices[low]
+        )
 
     # Row-wise L pattern → CSC (column-wise) with diagonal first per column.
     l_rows = np.repeat(np.arange(n), np.diff(l_indptr))
@@ -137,7 +155,10 @@ def analyze(a: CSR) -> CholeskySchedule:
             lvl = int(level[j])
             for ii in range(jj, m):
                 i = int(rws[ii])
-                upd[lvl].append((pos_of[(i, j)], lo + 1 + ii, bpos))
+                dst = pos_of.get((i, j))
+                if dst is None:
+                    continue  # incomplete mode: fill outside pattern dropped
+                upd[lvl].append((dst, lo + 1 + ii, bpos))
 
     max_upd = max((len(u) for u in upd), default=1) or 1
     scratch = nnz_l  # one scratch slot past the end of L's value array

@@ -3,26 +3,26 @@
 This is the TPU-native re-expression of the reference's scalar triple-loop
 ``mul_dense`` (``/root/reference/src/sparse.rs:426-446``). Instead of walking
 CSR entries, the matrix is re-laid-out on the host into **BSR**: dense
-``(BM × BK)`` tiles (MXU-aligned: 8×128 for f32) kept only where nonzero,
-stored as a flat list sorted by block-row. The kernel grid iterates
-``(rhs N-tile, stored block)``; the per-block row/column ids ride in SMEM via
-``PrefetchScalarGridSpec`` so the BlockSpec index maps can steer each grid
-step's DMA to the right tile of B and the right output tile — compute-only
-steps, no gather. Output tiles are revisited consecutively (blocks sorted by
-row), accumulated in VMEM, and zeroed at first visit.
+``(bm × bk)`` tiles (MXU-aligned) kept only where nonzero, stored as a flat
+list sorted by block-row. The kernel grid iterates ``(rhs N-tile, stored
+block)``; the per-block row/column ids ride in SMEM via
+``PrefetchScalarGridSpec`` so the BlockSpec index maps steer each grid step's
+DMA to the right tile of B and the right output tile. Output tiles are
+revisited consecutively (blocks sorted by row), accumulated in VMEM, zeroed
+at first visit.
 
-Roofline: each grid step is one ``(BM×BK) @ (BK×BN)`` MXU matmul; bytes moved
-per step ≈ ``BM·BK·4`` (A block) + ``BK·BN·4`` (B tile, pipelined). For
-block-fill φ the kernel moves ``nnz·4/φ`` bytes of A — profitable versus the
-gather path when φ is high enough that MXU utilisation beats the VPU
-segment-sum (see :func:`bsr_profitable`).
+Tile-size selection is the first-order performance lever: each grid step
+costs a fixed overhead (~1 µs measured on v5e) plus the B-panel DMA, so
+denser matrices want fat tiles (fewer steps, MXU-bound) while hypersparse
+ones want thin tiles (less zero-padding). :func:`pick_tiles` chooses from
+density; callers can override.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..csr import CSR
 
-# MXU-aligned tile sizes for f32 (sublane 8 × lane 128).
+# Default (thin) tiles — f32 minimum alignment (8 sublanes × 128 lanes).
 BM = 8
 BK = 128
 BN = 128
@@ -42,18 +42,39 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def pick_tiles(rows: int, cols: int, nnz: int) -> Tuple[int, int]:
+    """Choose (bm, bk) from density. Fat tiles amortise per-step grid
+    overhead and keep the MXU fed; thin tiles avoid padding waste when
+    blocks would be mostly empty."""
+    density = nnz / max(rows * cols, 1)
+    if density >= 0.05:
+        return 256, 512
+    if density >= 0.005:
+        return 64, 256
+    return 8, 128
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BSR:
-    """Flat block-sparse layout: ``blocks[t]`` is the dense (BM, BK) tile at
+    """Flat block-sparse layout: ``blocks[t]`` is the dense (bm, bk) tile at
     block coordinates ``(block_rows[t], block_cols[t])``; sorted by block
-    row."""
+    row. Every block-row index in range appears at least once (the kernel
+    writes output tiles only for visited blocks)."""
 
-    blocks: jax.Array       # (nblocks, BM, BK)
+    blocks: jax.Array       # (nblocks, bm, bk)
     block_rows: jax.Array   # (nblocks,) int32, sorted
     block_cols: jax.Array   # (nblocks,) int32
     rows: int = dataclasses.field(metadata=dict(static=True))
     cols: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def bm(self) -> int:
+        return int(self.blocks.shape[1])
+
+    @property
+    def bk(self) -> int:
+        return int(self.blocks.shape[2])
 
     @property
     def nblocks(self) -> int:
@@ -61,21 +82,24 @@ class BSR:
 
     @property
     def padded_rows(self) -> int:
-        return -(-self.rows // BM) * BM
+        return -(-self.rows // self.bm) * self.bm
 
     @property
     def padded_cols(self) -> int:
-        return -(-self.cols // BK) * BK
+        return -(-self.cols // self.bk) * self.bk
 
 
-def csr_to_bsr(a: CSR) -> BSR:
+def csr_to_bsr(a: CSR, bm: Optional[int] = None,
+               bk: Optional[int] = None) -> BSR:
     """Host-side CSR → BSR conversion. O(nnz) numpy; done once per matrix."""
     indptr, indices, values = a.numpy()
+    if bm is None or bk is None:
+        bm, bk = pick_tiles(a.rows, a.cols, a.stored)
     rows = np.repeat(np.arange(a.rows), np.diff(indptr))
-    brow = rows // BM
-    bcol = indices // BK
-    ncb = -(-a.cols // BK)
-    nrb = -(-a.rows // BM)
+    brow = rows // bm
+    bcol = indices // bk
+    ncb = -(-a.cols // bk)
+    nrb = -(-a.rows // bm)
     bkey = brow.astype(np.int64) * ncb + bcol
     # Every block-row must appear at least once: the kernel writes output
     # tiles only for visited blocks, so an absent block-row would leave its
@@ -84,8 +108,8 @@ def csr_to_bsr(a: CSR) -> BSR:
     uniq, inv = np.unique(bkey, return_inverse=True)
     inv = inv[: rows.shape[0]]
     nblocks = int(uniq.shape[0])
-    blocks = np.zeros((nblocks, BM, BK), dtype=values.dtype)
-    np.add.at(blocks, (inv, rows % BM, indices % BK), values)
+    blocks = np.zeros((nblocks, bm, bk), dtype=values.dtype)
+    np.add.at(blocks, (inv, rows % bm, indices % bk), values)
     block_rows = (uniq // ncb).astype(np.int32)
     block_cols = (uniq % ncb).astype(np.int32)
     return BSR(
@@ -97,25 +121,34 @@ def csr_to_bsr(a: CSR) -> BSR:
     )
 
 
-def _spmm_bsr_kernel(brows_ref, bcols_ref, a_ref, b_ref, o_ref):
-    t = pl.program_id(1)
-    prev = brows_ref[jnp.maximum(t - 1, 0)]
-    first = jnp.logical_or(t == 0, brows_ref[t] != prev)
+def _make_kernel(precision):
+    def _spmm_bsr_kernel(brows_ref, bcols_ref, a_ref, b_ref, o_ref):
+        t = pl.program_id(1)
+        prev = brows_ref[jnp.maximum(t - 1, 0)]
+        first = jnp.logical_or(t == 0, brows_ref[t] != prev)
 
-    @pl.when(first)
-    def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
+        @pl.when(first)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
 
-    o_ref[:] += jnp.dot(
-        a_ref[0], b_ref[:], preferred_element_type=o_ref.dtype,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+        o_ref[:] += jnp.dot(
+            a_ref[0], b_ref[:], preferred_element_type=o_ref.dtype,
+            precision=precision,
+        )
+
+    return _spmm_bsr_kernel
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _spmm_bsr(bsr: BSR, b_padded: jax.Array, n_padded: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _spmm_bsr(bsr: BSR, b_padded: jax.Array, n_padded: int,
+              bn: int, precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """Padded-shape kernel entry. ``precision`` trades MXU passes for
+    accuracy: HIGHEST (multi-pass, ~f32-exact, the default) or DEFAULT
+    (single-pass bf16 inputs, f32 accumulate — exact when inputs fit bf16's
+    8-bit mantissa, e.g. small integers). Mosaic supports only these two."""
     nblocks = bsr.nblocks
-    n_tiles = n_padded // BN
+    bm, bk = bsr.bm, bsr.bk
+    n_tiles = n_padded // bn
     out_dtype = jnp.promote_types(bsr.blocks.dtype, b_padded.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -123,27 +156,27 @@ def _spmm_bsr(bsr: BSR, b_padded: jax.Array, n_padded: int) -> jax.Array:
         grid=(n_tiles, nblocks),
         in_specs=[
             pl.BlockSpec(
-                (1, BM, BK),
+                (1, bm, bk),
                 lambda j, t, brows, bcols: (t, 0, 0),
             ),
             pl.BlockSpec(
-                (BK, BN),
+                (bk, bn),
                 lambda j, t, brows, bcols: (bcols[t], j),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (BM, BN),
+            (bm, bn),
             lambda j, t, brows, bcols: (brows[t], j),
         ),
     )
-    flops = 2 * nblocks * BM * BK * n_padded
+    flops = 2 * nblocks * bm * bk * n_padded
     bytes_accessed = (
-        bsr.blocks.size * bsr.blocks.dtype.itemsize
-        + b_padded.size * b_padded.dtype.itemsize * max(1, nblocks // max(n_tiles, 1))
+        bsr.blocks.size * bsr.blocks.dtype.itemsize * n_tiles
+        + nblocks * bk * bn * 4 * n_tiles
         + bsr.padded_rows * n_padded * 4
     )
     return pl.pallas_call(
-        _spmm_bsr_kernel,
+        _make_kernel(precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (bsr.padded_rows, n_padded), out_dtype
@@ -156,14 +189,18 @@ def _spmm_bsr(bsr: BSR, b_padded: jax.Array, n_padded: int) -> jax.Array:
       b_padded.astype(out_dtype))
 
 
-def spmm_bsr(bsr: BSR, b: jax.Array) -> jax.Array:
+def spmm_bsr(bsr: BSR, b: jax.Array, bn: Optional[int] = None,
+             precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """SpMM against a pre-converted BSR operand. Pads B's dims to tile
     multiples, runs the kernel, slices the true output."""
+    if bn is None:
+        bn = BN if b.shape[1] <= BN else min(
+            512, -(-b.shape[1] // 128) * 128)
     k_pad = bsr.padded_cols - b.shape[0]
-    n_padded = -(-b.shape[1] // BN) * BN
+    n_padded = -(-b.shape[1] // bn) * bn
     n_pad = n_padded - b.shape[1]
     b_padded = jnp.pad(b, ((0, k_pad), (0, n_pad)))
-    out = _spmm_bsr(bsr, b_padded, n_padded)
+    out = _spmm_bsr(bsr, b_padded, n_padded, bn, precision)
     return out[: bsr.rows, : b.shape[1]]
 
 
@@ -189,11 +226,13 @@ def bsr_profitable(a: CSR, n: int) -> bool:
         return False
     bsr = getattr(a, "_bsr_cache", None)
     if bsr is not None:
-        nblocks = bsr.nblocks
+        fill = a.stored / (bsr.nblocks * bsr.bm * bsr.bk)
     else:
+        bm, bk = pick_tiles(a.rows, a.cols, a.stored)
         indptr, indices, _ = a.numpy()
         rows = np.repeat(np.arange(a.rows), np.diff(indptr))
-        bkey = (rows // BM).astype(np.int64) * (-(-a.cols // BK)) + indices // BK
+        bkey = (rows // bm).astype(np.int64) * (-(-a.cols // bk)) \
+            + indices // bk
         nblocks = int(np.unique(bkey).shape[0])
-    fill = a.stored / (nblocks * BM * BK)
+        fill = a.stored / (nblocks * bm * bk)
     return fill >= 0.02
