@@ -120,18 +120,16 @@ def analyze(a: CSR, *, incomplete: bool = False) -> CholeskySchedule:
     np.add.at(col_ptr[1:], csc_cols, 1)
     col_ptr = np.cumsum(col_ptr)
 
-    # position lookup: (row, col) -> index in CSC value array
-    pos_of = {(int(r), int(c)): k for k, (r, c) in
-              enumerate(zip(csc_rows, csc_cols))}
+    # Vectorised position lookup: CSC entries sorted by (col, row) means
+    # key = col·n + row is ascending, so searchsorted resolves any (row, col)
+    # to its position in the value array.
+    csc_keys = csc_cols * n + csc_rows
 
     # A (lower incl. diagonal) scatter positions.
     keep = indices <= rows
     a_rows, a_cols = rows[keep], indices[keep]
     a_vals_idx = np.nonzero(keep)[0]
-    a_src_pos = np.fromiter(
-        (pos_of[(int(r), int(c))] for r, c in zip(a_rows, a_cols)),
-        dtype=np.int64, count=a_rows.shape[0],
-    )
+    a_src_pos = np.searchsorted(csc_keys, a_cols * n + a_rows)
 
     # Fan-in levels over the etree.
     level = np.zeros(n, dtype=np.int64)
@@ -141,36 +139,22 @@ def analyze(a: CSR, *, incomplete: bool = False) -> CholeskySchedule:
             level[p] = max(level[p], level[j] + 1)
     nlev = int(level.max()) + 1 if n else 1
 
-    # Update triples: for column k, for each pair (j, i) of its rows with
-    # j < i (plus j itself): dst=(i,j) src_a=(i,k) src_b=(j,k); grouped by
-    # level[j].
-    upd: list[list[Tuple[int, int, int]]] = [[] for _ in range(nlev)]
-    for k in range(n):
-        lo, hi = int(col_ptr[k]), int(col_ptr[k + 1])
-        rws = csc_rows[lo + 1 : hi]  # strictly-below-diagonal rows
-        m = rws.shape[0]
-        for jj in range(m):
-            j = int(rws[jj])
-            bpos = lo + 1 + jj
-            lvl = int(level[j])
-            for ii in range(jj, m):
-                i = int(rws[ii])
-                dst = pos_of.get((i, j))
-                if dst is None:
-                    continue  # incomplete mode: fill outside pattern dropped
-                upd[lvl].append((dst, lo + 1 + ii, bpos))
-
-    max_upd = max((len(u) for u in upd), default=1) or 1
+    # Update triples — native runtime: per level, (dst, src_a, src_b)
+    # positions into L's value array (L[i,j] -= L[i,k]·L[j,k]); incomplete
+    # patterns drop out-of-pattern destinations inside the generator.
+    dst, ua, ub, lvl_of, counts, starts = symbolic.chol_update_triples(
+        col_ptr, csc_rows, level, nlev
+    )
+    max_upd = max(int(counts.max()) if counts.size else 0, 1)
     scratch = nnz_l  # one scratch slot past the end of L's value array
     upd_dst = np.full((nlev, max_upd), scratch, dtype=np.int32)
     upd_a = np.full((nlev, max_upd), scratch, dtype=np.int32)
     upd_b = np.full((nlev, max_upd), scratch, dtype=np.int32)
-    for lv, u in enumerate(upd):
-        if u:
-            arr = np.asarray(u, dtype=np.int32)
-            upd_dst[lv, : len(u)] = arr[:, 0]
-            upd_a[lv, : len(u)] = arr[:, 1]
-            upd_b[lv, : len(u)] = arr[:, 2]
+    if dst.size:
+        pos_in_level = np.arange(dst.shape[0]) - starts[lvl_of]
+        upd_dst[lvl_of, pos_in_level] = dst
+        upd_a[lvl_of, pos_in_level] = ua
+        upd_b[lvl_of, pos_in_level] = ub
 
     # Column finalisation tables.
     cols_of_level = [np.nonzero(level == lv)[0] for lv in range(nlev)]

@@ -175,3 +175,62 @@ int64_t postorder(int64_t n, const int64_t* parent, int64_t* post) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Left-looking Cholesky update triples (numeric-phase scatter lists).
+//
+// Input: CSC pattern of L (col_ptr, row_idx; diagonal first per column) and
+// the fan-in level of each column. For every column k and every ordered pair
+// (j = row_idx[p], i = row_idx[q]) with p <= q over k's below-diagonal rows,
+// the update L[i,j] -= L[i,k] * L[j,k] is emitted as the triple
+//   (dst = pos(i,j), src_a = q, src_b = p)
+// grouped by level[j]. Destination positions are found by merging k's row
+// tail against column j's sorted row list (no hash lookups). Pairs whose
+// (i,j) position is absent from the pattern (incomplete factorizations)
+// are skipped.
+//
+// Two-phase API: pass count_only=1 to fill lvl_counts (size nlev) with the
+// number of triples per level; then allocate per-level offsets and call with
+// count_only=0 and lvl_offsets holding the running write cursor per level
+// (exclusive prefix of counts; modified in place).
+// Returns total number of triples emitted/counted.
+// ---------------------------------------------------------------------------
+int64_t chol_update_triples(int64_t n, const int64_t* col_ptr,
+                            const int64_t* row_idx, const int64_t* level,
+                            int64_t count_only, int64_t* lvl_counts_or_offsets,
+                            int64_t* out_dst, int64_t* out_a,
+                            int64_t* out_b) {
+  int64_t total = 0;
+  for (int64_t k = 0; k < n; ++k) {
+    int64_t lo = col_ptr[k] + 1;  // skip diagonal
+    int64_t hi = col_ptr[k + 1];
+    for (int64_t p = lo; p < hi; ++p) {
+      int64_t j = row_idx[p];
+      int64_t lvl = level[j];
+      // Merge k's tail rows [p, hi) against column j's rows to locate
+      // dst positions; both are sorted ascending.
+      int64_t jp = col_ptr[j];
+      int64_t jhi = col_ptr[j + 1];
+      for (int64_t q = p; q < hi; ++q) {
+        int64_t i = row_idx[q];
+        while (jp < jhi && row_idx[jp] < i) ++jp;
+        if (jp >= jhi) break;
+        if (row_idx[jp] != i) continue;  // incomplete: outside pattern
+        if (count_only) {
+          lvl_counts_or_offsets[lvl]++;
+        } else {
+          int64_t w = lvl_counts_or_offsets[lvl]++;
+          out_dst[w] = jp;
+          out_a[w] = q;
+          out_b[w] = p;
+        }
+        ++total;
+      }
+    }
+  }
+  return total;
+}
+
+}  // extern "C"

@@ -38,15 +38,18 @@ def _build() -> Optional[ctypes.CDLL]:
                 check=True, capture_output=True,
             )
         lib = ctypes.CDLL(_SO)
-        for name, argn in [
-            ("coo_to_csr_perm", 6), ("etree", 4), ("chol_row_counts", 5),
-            ("chol_pattern", 6), ("level_sets", 4), ("postorder", 3),
+        for name, nscalars, nptrs in [
+            ("coo_to_csr_perm", 2, 4), ("etree", 1, 3),
+            ("chol_row_counts", 1, 4), ("chol_pattern", 1, 5),
+            ("level_sets", 1, 3), ("postorder", 1, 2),
+            ("chol_update_triples", 1, 3), # + 1 scalar + 4 ptrs appended below
         ]:
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int64
-            fn.argtypes = [ctypes.c_int64] * (2 if name == "coo_to_csr_perm"
-                                              else 1) + [_I64] * (argn - (
-                                                  2 if name == "coo_to_csr_perm" else 1))
+            fn.argtypes = [ctypes.c_int64] * nscalars + [_I64] * nptrs
+        lib.chol_update_triples.argtypes = (
+            [ctypes.c_int64] + [_I64] * 3 + [ctypes.c_int64] + [_I64] * 4
+        )
         return lib
     except Exception:
         return None
@@ -216,3 +219,59 @@ def coo_to_csr_perm(n_rows: int, rows, cols) -> Tuple[np.ndarray, np.ndarray]:
     np.add.at(indptr[1:], rows, 1)
     np.cumsum(indptr, out=indptr)
     return indptr, perm
+
+
+def chol_update_triples(col_ptr, row_idx, level, nlev: int):
+    """Numeric-phase scatter lists for left-looking Cholesky: per-level
+    (dst, src_a, src_b) position triples into L's CSC value array (native
+    two-phase; O(flops)). Returns (dst, a, b, level_of_triple) flat arrays
+    sorted by level. Incomplete patterns are handled (out-of-pattern
+    destinations skipped)."""
+    col_ptr, row_idx, level = _c64(col_ptr), _c64(row_idx), _c64(level)
+    n = col_ptr.shape[0] - 1
+    lib = native_lib()
+    if lib is not None:
+        counts = np.zeros(nlev, dtype=np.int64)
+        total = int(lib.chol_update_triples(
+            n, _ptr(col_ptr), _ptr(row_idx), _ptr(level), 1, _ptr(counts),
+            None, None, None))
+        offsets = np.zeros(nlev, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        starts = offsets.copy()
+        dst = np.empty(total, dtype=np.int64)
+        a = np.empty(total, dtype=np.int64)
+        b = np.empty(total, dtype=np.int64)
+        lib.chol_update_triples(
+            n, _ptr(col_ptr), _ptr(row_idx), _ptr(level), 0, _ptr(offsets),
+            _ptr(dst), _ptr(a), _ptr(b))
+        lvl_of = np.repeat(np.arange(nlev, dtype=np.int64), counts)
+        return dst, a, b, lvl_of, counts, starts
+    # python fallback (same merge algorithm)
+    dst_l, a_l, b_l, lvl_l = [], [], [], []
+    for k in range(n):
+        lo, hi = int(col_ptr[k]) + 1, int(col_ptr[k + 1])
+        for p in range(lo, hi):
+            j = int(row_idx[p])
+            lv = int(level[j])
+            jp, jhi = int(col_ptr[j]), int(col_ptr[j + 1])
+            for q in range(p, hi):
+                i = int(row_idx[q])
+                while jp < jhi and row_idx[jp] < i:
+                    jp += 1
+                if jp >= jhi:
+                    break
+                if row_idx[jp] != i:
+                    continue
+                dst_l.append(jp)
+                a_l.append(q)
+                b_l.append(p)
+                lvl_l.append(lv)
+    order = np.argsort(np.asarray(lvl_l, dtype=np.int64), kind="stable")         if lvl_l else np.empty(0, dtype=np.int64)
+    dst = np.asarray(dst_l, dtype=np.int64)[order]
+    a = np.asarray(a_l, dtype=np.int64)[order]
+    b = np.asarray(b_l, dtype=np.int64)[order]
+    lvl_of = np.asarray(lvl_l, dtype=np.int64)[order]
+    counts = np.bincount(lvl_of, minlength=nlev).astype(np.int64)
+    starts = np.zeros(nlev, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return dst, a, b, lvl_of, counts, starts

@@ -105,14 +105,16 @@ def main():
 
         operand = (indptr, cols, vals)
 
-    # Per-dispatch RPC latency on tunneled single-chip setups is ~0.5 ms —
-    # far above the kernel time — so iterate on device inside ONE program,
-    # with a data-dependent carry to keep XLA from hoisting the loop body.
-    inner = 100
+    # Measurement method (derived empirically on this tunneled setup):
+    # each program execution carries a large fixed RPC/IO cost (~tens of ms)
+    # that dwarfs the kernel, so iterate ON DEVICE with serialised
+    # (normalised-feedback) iterations at two different counts and take the
+    # difference — the fixed cost cancels exactly.
+    import functools
 
-    @jax.jit
-    def run_many(operand, bb):
-        # Honest serialization: each iteration's input is the previous
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_many(operand, bb, inner):
+        # Honest serialisation: each iteration's input is the previous
         # normalised output — full-magnitude, full-rank feedback that cannot
         # be strength-reduced, rounded away in bf16, or pipelined across
         # iterations.
@@ -121,36 +123,40 @@ def main():
             return out * (1.0 / jnp.maximum(jnp.max(jnp.abs(out)), 1e-30))
         return jax.lax.fori_loop(0, inner, step, bb)
 
-    jax.block_until_ready(run_many(operand, b))  # compile + warmup
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run_many(operand, b)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / (reps * inner)
+    def fence(out):
+        # block_until_ready proved unreliable on this backend; a value fetch
+        # is the only trustworthy completion fence.
+        return float(jnp.sum(out[:1, :1]))
+
+    def measure(fn, *args, i1=500, i2=4500, reps=2):
+        fence(fn(*args, i1))  # compile both variants + warm the fetch path
+        fence(fn(*args, i2))
+        t = {}
+        for inner in (i1, i2):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fence(fn(*args, inner))
+                best = min(best, time.perf_counter() - t0)
+            t[inner] = best
+        return max(t[i2] - t[i1], 1e-12) / (i2 - i1)
+
+    dt = measure(run_many, operand, b)
 
     # Measured speed-of-light: the same harness driving a plain dense MXU
     # matmul of identical shape — the fastest any SpMM formulation of this
-    # workload can possibly run on this chip. Using a measured bound instead
-    # of spec-sheet peaks keeps vs_baseline honest across environments.
+    # workload can possibly run on this chip. A measured bound instead of
+    # spec-sheet peaks keeps vs_baseline honest across environments.
     a_sol = jnp.ones((N, N), jnp.float32)
 
-    def run_sol(ad, bb):
-        return jnp.dot(ad, bb, preferred_element_type=jnp.float32)
-
-    @jax.jit
-    def sol_many(ad, bb):
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def sol_many(ad, bb, inner):
         def step(_, carry):
-            out = run_sol(ad, carry)
+            out = jnp.dot(ad, carry, preferred_element_type=jnp.float32)
             return out * (1.0 / jnp.maximum(jnp.max(jnp.abs(out)), 1e-30))
         return jax.lax.fori_loop(0, inner, step, bb)
 
-    jax.block_until_ready(sol_many(a_sol, b))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = sol_many(a_sol, b)
-    jax.block_until_ready(out)
-    dt_sol = (time.perf_counter() - t0) / (reps * inner)
+    dt_sol = measure(sol_many, a_sol, b)
 
     elements_per_s = INSERTS / dt
     vs = dt_sol / dt  # fraction of measured dense speed-of-light
