@@ -1,7 +1,7 @@
 from .cholesky import cholesky, cholesky_auto, cholesky_decomp, cholesky_dense
 from .qr import eigen_values, eigen_values_dense, qr_decomp, qr_dense
 from .pcg import PCGSetup, pcg_solve
-from .solve import solve, solve_dense
+from .solve import solve, solve_auto, solve_dense, solve_sparse
 from .triangular import (
     backward_substitution,
     forward_substitution,
@@ -19,6 +19,8 @@ __all__ = [
     "eigen_values_dense",
     "solve",
     "solve_dense",
+    "solve_sparse",
+    "solve_auto",
     "pcg_solve",
     "PCGSetup",
     "forward_substitution",

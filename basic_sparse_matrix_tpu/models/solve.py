@@ -40,3 +40,30 @@ def solve(a: CSR, b) -> jax.Array:
     check(rhs.shape[0] == a.rows, IncorrectDimensions,
           f"solve: A {a.dims} vs b {rhs.shape}")
     return solve_dense(a.todense(), rhs)
+
+
+def solve_sparse(a: CSR, b) -> jax.Array:
+    """Fully sparse solve pipeline: level-scheduled Cholesky factorization
+    (symbolic analysis in the native runtime) + level-set-parallel forward/
+    backward substitution. The scalable counterpart of :func:`solve` for
+    matrices where densifying is wasteful."""
+    from .sparse_cholesky import cholesky_sparse
+    from .sparse_triangular import solve_triangular_sparse
+
+    check(a.rows == a.cols, NonSquareMatrix,
+          f"solve_sparse requires square A, got {a.dims}")
+    rhs = _as_array(b)
+    check(rhs.shape[0] == a.rows, IncorrectDimensions,
+          f"solve_sparse: A {a.dims} vs b {rhs.shape}")
+    l = cholesky_sparse(a)
+    y = solve_triangular_sparse(l, rhs, lower=True)
+    return solve_triangular_sparse(l.transpose(), y, lower=False)
+
+
+def solve_auto(a: CSR, b) -> jax.Array:
+    """Dispatch between the dense XLA pipeline (small or dense-ish A) and
+    the sparse level-scheduled pipeline (large sparse A) — mirroring
+    ``cholesky_auto``'s policy."""
+    if a.rows <= 2048 or a.get_density() > 0.05:
+        return solve(a, b)
+    return solve_sparse(a, b)

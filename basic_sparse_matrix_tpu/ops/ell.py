@@ -1,0 +1,134 @@
+"""ELL (padded-row) sparse format — the hypersparse SpMM fast path.
+
+SURVEY.md §7's "padded block-ELL / segment-tiled layouts". For matrices with
+low row-length variance, padding every row to the max length turns SpMM into
+``gather + batched reduce`` with **no scatter**: measured 4.3× faster than
+the CSR gather/segment-sum formulation on v5e (PERF_NOTES.md), because the
+scatter-add is what XLA lowers poorly. The residual cost is the random
+row-gather of B itself, which at 512-byte granularity runs near the
+practical HBM random-access bound.
+
+Dispatch policy (``ops.spmm.spmm_auto``): ELL is used below the dense/BSR
+density thresholds whenever the padding overhead ``rows·width / nnz`` stays
+under 2×.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .csr import CSR
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ELL:
+    """Padded row-major sparse layout: ``cols[r, k]``/``vals[r, k]`` hold the
+    k-th stored entry of row r; padding slots have ``col = 0, val = 0``."""
+
+    cols: jax.Array   # (rows, width) int32
+    vals: jax.Array   # (rows, width)
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_rows(self) -> int:
+        return int(self.cols.shape[0])
+
+    @property
+    def width(self) -> int:
+        return int(self.cols.shape[1])
+
+
+def csr_to_ell(a: CSR) -> ELL:
+    """Host-side CSR → ELL conversion (O(nnz) numpy)."""
+    indptr, indices, values = a.numpy()
+    lens = np.diff(indptr)
+    width = max(int(lens.max()) if a.rows else 0, 1)
+    cols = np.zeros((a.rows, width), dtype=np.int32)
+    vals = np.zeros((a.rows, width), dtype=values.dtype)
+    rows = np.repeat(np.arange(a.rows), lens)
+    offs = np.arange(a.stored) - np.repeat(indptr[:-1], lens)
+    cols[rows, offs] = indices
+    vals[rows, offs] = values
+    return ELL(cols=jnp.asarray(cols), vals=jnp.asarray(vals),
+               n_cols=a.cols)
+
+
+# The gathered intermediate is (rows, width, n_rhs); XLA materialises it, so
+# large problems must be processed in row chunks to bound HBM usage.
+INTERMEDIATE_BUDGET_BYTES = 1 << 30
+
+
+@jax.jit
+def _spmm_ell_direct(ell: ELL, b: jax.Array) -> jax.Array:
+    gathered = b[ell.cols]  # (rows, width, n_rhs)
+    return jnp.einsum(
+        "rp,rpn->rn", ell.vals.astype(b.dtype), gathered,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _chunk_rows(ell: ELL, n_rhs: int) -> int:
+    per_row = ell.width * n_rhs * 4
+    return max(1, INTERMEDIATE_BUDGET_BYTES // max(per_row, 1))
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _spmm_ell_chunked(ell: ELL, b: jax.Array, chunk: int) -> jax.Array:
+    rows = ell.n_rows
+    nchunks = -(-rows // chunk)
+    pad = nchunks * chunk - rows
+    cols = jnp.pad(ell.cols, ((0, pad), (0, 0)))
+    vals = jnp.pad(ell.vals, ((0, pad), (0, 0)))
+    cols = cols.reshape(nchunks, chunk, ell.width)
+    vals = vals.reshape(nchunks, chunk, ell.width)
+
+    def one(cv):
+        c, v = cv
+        return jnp.einsum(
+            "rp,rpn->rn", v.astype(b.dtype), b[c],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    out = jax.lax.map(one, (cols, vals))
+    return out.reshape(nchunks * chunk, b.shape[1])[:rows]
+
+
+def spmm_ell(ell: ELL, b: jax.Array) -> jax.Array:
+    """SpMM via gather + per-row reduce: ``out[r] = Σ_k vals[r,k]·B[cols[r,k]]``.
+    Padding slots contribute ``0 · B[0]``. Row-chunked when the gathered
+    intermediate would exceed the HBM budget."""
+    chunk = _chunk_rows(ell, int(b.shape[1]))
+    if chunk >= ell.n_rows:
+        return _spmm_ell_direct(ell, b)
+    return _spmm_ell_chunked(ell, b, chunk)
+
+
+@jax.jit
+def spmv_ell(ell: ELL, x: jax.Array) -> jax.Array:
+    prod = ell.vals.astype(x.dtype) * x[ell.cols]
+    return jnp.sum(prod, axis=1)
+
+
+def ell_overhead(a: CSR) -> float:
+    """Padding overhead factor: stored slots after padding / true stored."""
+    indptr, _, _ = a.numpy()
+    lens = np.diff(indptr)
+    width = max(int(lens.max()) if a.rows else 0, 1)
+    return a.rows * width / max(a.stored, 1)
+
+
+def spmm_ell_from_csr(a: CSR, b: jax.Array) -> jax.Array:
+    """CSR entry point with memoised ELL conversion."""
+    ell = getattr(a, "_ell_cache", None)
+    if ell is None:
+        ell = csr_to_ell(a)
+        object.__setattr__(a, "_ell_cache", ell)
+    return spmm_ell(ell, b)

@@ -108,4 +108,10 @@ def spmm_auto(a: CSR, b: jax.Array) -> jax.Array:
                        precision=jax.lax.Precision.HIGHEST)
     if _k.bsr_profitable(a, b.shape[-1]):
         return _k.spmm_bsr_from_csr(a, b)
+    if concrete and a.stored:
+        from . import ell as _e
+
+        if _e.ell_overhead(a) <= 2.0:
+            # padded-row gather+reduce: no scatter, ~4x the segment path
+            return _e.spmm_ell_from_csr(a, b)
     return spmm(a, b)

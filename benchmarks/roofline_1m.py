@@ -46,19 +46,19 @@ def main():
         return cols, vals, b
 
     cols, vals, b = make(jax.random.PRNGKey(0))
-    row_ids = jnp.repeat(
-        jnp.arange(rows, dtype=jnp.int32), per, total_repeat_length=nnz
-    )
+    # ELL formulation (uniform rows) through the library path — gather +
+    # batched reduce, row-chunked to bound the gathered intermediate
+    # (ops/ell.spmm_ell, the spmm_auto dispatch choice for this shape).
+    from basic_sparse_matrix_tpu.ops.ell import ELL, spmm_ell
+
+    ell = ELL(cols=cols.reshape(rows, per), vals=vals.reshape(rows, per),
+              n_cols=rows)
 
     def step(operand, carry):
-        cols_, vals_, rid = operand
-        gathered = carry[cols_] * vals_[:, None]
-        return jax.ops.segment_sum(gathered, rid, num_segments=rows,
-                                   indices_are_sorted=True)
+        return spmm_ell(operand, carry)
 
     loop = make_loop(step)
-    dt = measure_loop(loop, (cols, vals, row_ids), b,
-                      i1=args.i1, i2=args.i2, reps=2)
+    dt = measure_loop(loop, ell, b, i1=args.i1, i2=args.i2, reps=2)
 
     hbm_bw = 819e9
     bytes_per_iter = nnz * (4 + 4) + nnz * n_rhs * 4 + rows * n_rhs * 4

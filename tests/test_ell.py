@@ -1,0 +1,77 @@
+"""ELL format tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from basic_sparse_matrix_tpu import CSR
+from basic_sparse_matrix_tpu.ops.ell import (
+    csr_to_ell,
+    ell_overhead,
+    spmm_ell,
+    spmv_ell,
+)
+from basic_sparse_matrix_tpu.ops.spmm import spmm_auto
+
+
+def _case(seed, rows, cols, density):
+    rng = np.random.default_rng(seed)
+    d = ((rng.random((rows, cols)) < density)
+         * rng.standard_normal((rows, cols))).astype(np.float32)
+    return d
+
+
+def test_ell_roundtrip_structure():
+    d = np.asarray([
+        [1.0, 0, 2, 0],
+        [0, 0, 0, 0],
+        [3, 4, 5, 0],
+    ], dtype=np.float32)
+    ell = csr_to_ell(CSR.from_dense(d))
+    assert ell.width == 3
+    cols = np.asarray(ell.cols)
+    vals = np.asarray(ell.vals)
+    assert vals[0].tolist() == [1.0, 2.0, 0.0]
+    assert cols[0].tolist() == [0, 2, 0]
+    assert vals[1].tolist() == [0.0, 0.0, 0.0]
+    assert vals[2].tolist() == [3.0, 4.0, 5.0]
+
+
+def test_spmm_ell_matches_oracle():
+    for rows, cols, dens in [(50, 70, 0.1), (33, 20, 0.3), (64, 64, 0.0)]:
+        d = _case(1, rows, cols, dens)
+        b = np.random.default_rng(2).standard_normal(
+            (cols, 9)).astype(np.float32)
+        out = np.asarray(spmm_ell(csr_to_ell(CSR.from_dense(d)),
+                                  jnp.asarray(b)))
+        assert np.allclose(out, d @ b, rtol=1e-4, atol=1e-5)
+
+
+def test_spmv_ell_matches_oracle():
+    d = _case(3, 40, 30, 0.2)
+    x = np.random.default_rng(4).standard_normal(30).astype(np.float32)
+    out = np.asarray(spmv_ell(csr_to_ell(CSR.from_dense(d)),
+                              jnp.asarray(x)))
+    assert np.allclose(out, d @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_overhead_measure():
+    # one long row among short ones → high overhead
+    d = np.zeros((10, 100), dtype=np.float32)
+    d[0, :50] = 1.0
+    d[1:, 0] = 1.0
+    a = CSR.from_dense(d)
+    assert ell_overhead(a) > 5
+
+    # uniform rows → overhead 1
+    d = np.ones((8, 16), dtype=np.float32)
+    assert ell_overhead(CSR.from_dense(d)) == 1.0
+
+
+def test_auto_dispatch_correct_every_path():
+    rng = np.random.default_rng(5)
+    for dens in (0.001, 0.02, 0.5):
+        d = ((rng.random((256, 256)) < dens)
+             * rng.standard_normal((256, 256))).astype(np.float32)
+        b = rng.standard_normal((256, 8)).astype(np.float32)
+        out = np.asarray(spmm_auto(CSR.from_dense(d), jnp.asarray(b)))
+        assert np.allclose(out, d @ b, rtol=1e-4, atol=1e-4), dens
