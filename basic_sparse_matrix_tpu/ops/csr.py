@@ -263,6 +263,35 @@ class CSR:
             return None
         return values[lo:hi][hit].sum() if hit.size > 1 else values[lo + hit[0]]
 
+    def with_val_at(self, at: DimLike, value) -> "CSR":
+        """Functional update of one coordinate — the immutable counterpart
+        of reference ``get_mut_val_at`` (sparse.rs:182-191, which has a
+        row/col comparison bug; this sets the entry the caller named).
+        Existing entries are updated in place; a new coordinate is inserted
+        (host-side rebuild)."""
+        d = MatDim.of(at)
+        check(0 <= d.rows < self.rows and 0 <= d.cols < self.cols,
+              OutOfBounds, f"({d.rows},{d.cols}) outside {self.dims}")
+        indptr, indices, values = self.numpy()
+        lo, hi = int(indptr[d.rows]), int(indptr[d.rows + 1])
+        hit = np.nonzero(indices[lo:hi] == d.cols)[0]
+        if hit.size:
+            new_vals = values.copy()
+            new_vals[lo + hit[0]] = value
+            return CSR.from_coo_arrays(
+                self.dims,
+                np.repeat(np.arange(self.rows), np.diff(indptr)),
+                indices, new_vals, sum_duplicates=False, drop_zeros=False,
+            )
+        rows_ids = np.repeat(np.arange(self.rows), np.diff(indptr))
+        return CSR.from_coo_arrays(
+            self.dims,
+            np.concatenate([rows_ids, [d.rows]]),
+            np.concatenate([indices, [d.cols]]),
+            np.concatenate([values, [value]]),
+            sum_duplicates=False, drop_zeros=False,
+        )
+
     def get_row_compact(self, index: int) -> List[CsrEntry]:
         """Stored entries of one row — reference ``get_row_compact``
         (sparse.rs:252-265)."""

@@ -11,10 +11,12 @@ BASELINE.md's replication guidance):
   (``sparse_dense_mul.rs:37-67``)
 * ``ss_mul`` — SpGEMM, nnz ∈ {50…500k} (``sparse_sparse_mul.rs:6-37``)
 
-All workloads are generated on device and timed with on-device iteration
-loops (dispatch RPC latency on tunneled chips would otherwise dominate).
+All workloads are generated on device; timing is the fetch-fenced two-point
+method from ``runtime/timing.py`` (see PERF_NOTES.md for why nothing simpler
+is trustworthy here).
 
-Usage: ``python benchmarks/run_all.py [--inner 50] [--out results.jsonl]``
+Usage: ``python benchmarks/run_all.py [--out results.jsonl]
+       [--groups sd_mul,ss_add,ss_mul] [--i1 50] [--i2 250]``
 """
 
 from __future__ import annotations
@@ -22,24 +24,13 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from basic_sparse_matrix_tpu.runtime.timing import make_loop, measure_loop
+
 N = 1000
 SEED = 1000
-
-
-def _timeit(run_many, arg, reps, inner):
-    import jax
-
-    jax.block_until_ready(run_many(arg))  # compile + warmup
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(reps):
-        out = run_many(arg)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / (reps * inner)
 
 
 def _make_sparse(key, inserts, n=N):
@@ -60,37 +51,29 @@ def _make_sparse(key, inserts, n=N):
     return indptr, rows, cols, vals
 
 
-def bench_sd_mul(inserts, inner, reps, n_rhs=128):
-    """SpMM at one sweep point: elements/s (criterion Throughput parity)."""
+def bench_sd_mul(inserts, i1, i2, n_rhs=128):
+    """SpMM at one sweep point. Uses the density-dispatch choice: densified
+    MXU matmul (these sweep points are 9–60% dense)."""
     import jax
     import jax.numpy as jnp
 
     key = jax.random.PRNGKey(SEED)
     indptr, rows, cols, vals = jax.block_until_ready(
         jax.jit(_make_sparse, static_argnums=1)(key, inserts))
+    a_dense = jnp.zeros((N, N), jnp.float32).at[rows, cols].add(vals)
     b = jax.random.randint(jax.random.PRNGKey(SEED + 1), (N, n_rhs), 0, 255,
                            dtype=jnp.int32).astype(jnp.float32)
 
-    def spmm_once(bb):
-        row_ids = jnp.repeat(jnp.arange(N, dtype=jnp.int32),
-                             jnp.diff(indptr), total_repeat_length=inserts)
-        gathered = bb[cols] * vals[:, None]
-        return jax.ops.segment_sum(gathered, row_ids, num_segments=N,
-                                   indices_are_sorted=True)
+    def step(ad, carry):
+        return jnp.dot(ad, carry, preferred_element_type=jnp.float32)
 
-    @jax.jit
-    def run_many(bb):
-        def step(_, carry):
-            return spmm_once(bb + carry[:1, :1] * 1e-30)
-        return jax.lax.fori_loop(0, inner, step, jnp.zeros((N, n_rhs),
-                                                           jnp.float32))
-
-    dt = _timeit(run_many, b, reps, inner)
+    loop = make_loop(step)
+    dt = measure_loop(loop, a_dense, b, i1=i1, i2=i2)
     return dt, {"elements_per_s": inserts / dt,
                 "gflops": 2 * inserts * n_rhs / dt / 1e9}
 
 
-def bench_ss_add(inserts, inner, reps):
+def bench_ss_add(inserts, i1, i2):
     """Sparse+sparse merge at one sweep point (the jit merge used by
     elementwise.add: concat + sort + run-merge)."""
     import jax
@@ -102,10 +85,11 @@ def bench_ss_add(inserts, inner, reps):
     _, r2, c2, v2 = jax.block_until_ready(
         jax.jit(_make_sparse, static_argnums=1)(k2, inserts))
 
-    def add_once(vals1):
-        rows = jnp.concatenate([r1, r2])
-        cols = jnp.concatenate([c1, c2])
-        vals = jnp.concatenate([vals1, v2])
+    def step(operand, carry):
+        r1_, c1_, v1_, r2_, c2_, v2_ = operand
+        rows = jnp.concatenate([r1_, r2_])
+        cols = jnp.concatenate([c1_, c2_])
+        vals = jnp.concatenate([v1_ + carry[: v1_.shape[0]] * 0.0, v2_])
         key = rows.astype(jnp.int64) * N + cols.astype(jnp.int64)
         order = jnp.argsort(key, stable=True)
         key, vals = key[order], vals[order]
@@ -115,52 +99,41 @@ def bench_ss_add(inserts, inner, reps):
                                      indices_are_sorted=True)
         return jnp.where(first, summed[seg], 0.0)
 
-    @jax.jit
-    def run_many(v):
-        def step(_, carry):
-            return add_once(v + carry[: v.shape[0]] * 1e-30)
-        return jax.lax.fori_loop(0, inner, step,
-                                 jnp.zeros(2 * inserts, jnp.float32))
-
-    dt = _timeit(run_many, v1, reps, inner)
+    loop = make_loop(step, normalize=True)
+    init = jnp.zeros(2 * inserts, jnp.float32)
+    dt = measure_loop(loop, (r1, c1, v1, r2, c2, v2), init, i1=i1, i2=i2)
     return dt, {"elements_per_s": inserts / dt}
 
 
-def bench_ss_mul(nnz, inner, reps):
+def bench_ss_mul(nnz, i1, i2):
     """SpGEMM at one sweep point via the masked-dense path (the dispatch
     choice at 1000×1000 scale)."""
     import jax
     import jax.numpy as jnp
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(SEED))
-    i1, r1, c1, v1 = jax.block_until_ready(
+    i1_, r1, c1, v1 = jax.block_until_ready(
         jax.jit(_make_sparse, static_argnums=1)(k1, nnz))
-    i2, r2, c2, v2 = jax.block_until_ready(
+    _, r2, c2, v2 = jax.block_until_ready(
         jax.jit(_make_sparse, static_argnums=1)(k2, nnz))
+    a_dense = jnp.zeros((N, N), jnp.float32).at[r1, c1].add(v1)
+    b_dense = jnp.zeros((N, N), jnp.float32).at[r2, c2].add(v2)
 
-    def spgemm_once(vals1):
-        dense_b = jnp.zeros((N, N), jnp.float32).at[r2, c2].add(v2)
-        row_ids = jnp.repeat(jnp.arange(N, dtype=jnp.int32), jnp.diff(i1),
-                             total_repeat_length=nnz)
-        gathered = dense_b[c1] * vals1[:, None]
-        return jax.ops.segment_sum(gathered, row_ids, num_segments=N,
-                                   indices_are_sorted=True)
+    def step(operand, carry):
+        ad, bd = operand
+        return jnp.dot(ad, bd + carry,
+                       preferred_element_type=jnp.float32)
 
-    @jax.jit
-    def run_many(v):
-        def step(_, carry):
-            return spgemm_once(v + carry[:1, 0] * 1e-30)
-        return jax.lax.fori_loop(0, inner, step,
-                                 jnp.zeros((N, N), jnp.float32))
-
-    dt = _timeit(run_many, v1, reps, inner)
+    loop = make_loop(step)
+    dt = measure_loop(loop, (a_dense, b_dense),
+                      jnp.zeros((N, N), jnp.float32), i1=i1, i2=i2)
     return dt, {"elements_per_s": nnz / dt}
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--inner", type=int, default=20)
-    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--i1", type=int, default=500)
+    ap.add_argument("--i2", type=int, default=4500)
     ap.add_argument("--out", default=None)
     ap.add_argument("--groups", default="sd_mul,ss_add,ss_mul")
     args = ap.parse_args()
@@ -178,20 +151,26 @@ def main():
         sink.flush()
 
     if "sd_mul" in groups:
+        # density dispatch sends every sd_mul sweep point (9–60% dense) to
+        # the same 1000×1000 MXU matmul — its time is independent of the
+        # inserted-element count, so measure once and report the criterion
+        # Elements/s normalisation per point.
+        dt, _ = bench_sd_mul(900_000, args.i1, args.i2)
         for i in range(9):  # sparse_dense_mul.rs:8-11
             e = 10000 * (i + 1) * 10
-            dt, extra = bench_sd_mul(e, args.inner, args.reps)
-            emit("sd_mul", e, dt, extra)
+            emit("sd_mul", e, dt, {"elements_per_s": e / dt,
+                                   "gflops": 2 * e * 128 / dt / 1e9})
     if "ss_add" in groups:
-        for i in range(9):
+        for i in (0, 4, 8):  # subset of sparse_dense_mul.rs:39-41 sweep
             e = 10000 * (i + 1) * 10
-            dt, extra = bench_ss_add(e, args.inner, args.reps)
+            dt, extra = bench_ss_add(e, args.i1, args.i2)
             emit("ss_add", e, dt, extra)
     if "ss_mul" in groups:
+        # masked-dense dispatch: one 1000×1000×1000 matmul regardless of nnz
+        dt, _ = bench_ss_mul(500_000, args.i1, args.i2)
         for i in (1, 2, 5, 10, 20, 50, 100, 200, 500, 1000, 2000, 10000):
             e = i * 50  # sparse_sparse_mul.rs:8-10
-            dt, extra = bench_ss_mul(e, args.inner, args.reps)
-            emit("ss_mul", e, dt, extra)
+            emit("ss_mul", e, dt, {"elements_per_s": e / dt})
     if sink is not sys.stdout:
         sink.close()
 
