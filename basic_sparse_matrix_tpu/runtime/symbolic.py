@@ -275,3 +275,39 @@ def chol_update_triples(col_ptr, row_idx, level, nlev: int):
     starts = np.zeros(nlev, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
     return dst, a, b, lvl_of, counts, starts
+
+
+def supernodes(col_ptr, row_idx, parent, *, relax: int = 0) -> np.ndarray:
+    """Fundamental supernode partition of a Cholesky factor pattern.
+
+    Columns j and j+1 belong to one supernode when j+1 is j's etree parent
+    and column j's below-diagonal structure equals column j+1's structure
+    plus the diagonal — i.e. the dense panels of a supernodal factorization.
+    ``relax`` allows amalgamating when the structures differ by at most that
+    many rows (relaxed supernodes: more padding, fewer/fatter panels — the
+    TPU-friendly direction).
+
+    Returns ``super_id`` per column (non-decreasing). Groundwork for the
+    supernodal numeric phase (round-2: dense MXU panels instead of
+    scatter-list updates).
+    """
+    col_ptr, row_idx, parent = _c64(col_ptr), _c64(row_idx), _c64(parent)
+    n = col_ptr.shape[0] - 1
+    super_id = np.zeros(n, dtype=np.int64)
+    sid = 0
+    for j in range(1, n):
+        mergeable = parent[j - 1] == j
+        if mergeable:
+            # fundamental condition: below-diag struct(j-1) minus {j} must
+            # equal below-diag struct(j); `relax` tolerates that many extra
+            # rows of padding (relaxed amalgamation)
+            prev_below = set(
+                row_idx[col_ptr[j - 1] + 1 : col_ptr[j]].tolist()) - {j}
+            cur_below = set(
+                row_idx[col_ptr[j] + 1 : col_ptr[j + 1]].tolist())
+            if len(prev_below ^ cur_below) > relax:
+                mergeable = False
+        if not mergeable:
+            sid += 1
+        super_id[j] = sid
+    return super_id
