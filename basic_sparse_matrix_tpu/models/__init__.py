@@ -1,5 +1,5 @@
 from .cholesky import cholesky, cholesky_auto, cholesky_decomp, cholesky_dense
-from .qr import eigen_values, eigen_values_dense, qr_decomp, qr_dense
+from .qr import (eigen_values, eigen_values_dense, eigen_values_sym, qr_decomp, qr_dense)
 from .pcg import PCGSetup, pcg_solve
 from .solve import solve, solve_auto, solve_dense, solve_sparse
 from .triangular import (
@@ -16,6 +16,7 @@ __all__ = [
     "qr_decomp",
     "qr_dense",
     "eigen_values",
+    "eigen_values_sym",
     "eigen_values_dense",
     "solve",
     "solve_dense",

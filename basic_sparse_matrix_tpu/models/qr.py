@@ -56,3 +56,18 @@ def eigen_values(a: CSR, iterations: int) -> jax.Array:
     check(a.rows == a.cols, NonSquareMatrix,
           f"eigen_values requires square matrix, got {a.dims}")
     return eigen_values_dense(a.todense(), iterations)
+
+
+@jax.jit
+def eigen_values_sym_dense(a: jax.Array) -> jax.Array:
+    """Symmetric fast path: ``eigh`` instead of QR iteration — exact
+    spectrum in one call (ascending order)."""
+    return jnp.linalg.eigvalsh(a.astype(jnp.float32))
+
+
+def eigen_values_sym(a: CSR) -> jax.Array:
+    """Eigenvalues of a symmetric CSR matrix via ``eigh`` (the converged
+    answer the reference's unshifted QR iteration approaches)."""
+    check(a.rows == a.cols, NonSquareMatrix,
+          f"eigen_values_sym requires square matrix, got {a.dims}")
+    return eigen_values_sym_dense(a.todense())
