@@ -33,15 +33,19 @@ def _merge(a: CSR, b: CSR, b_sign: int) -> CSR:
     if n == 0:
         return CSR.empty(a.dims, dtype=vals.dtype)
 
-    key = rows.astype(jnp.int64) * a.cols + cols.astype(jnp.int64)
-    order = jnp.argsort(key, stable=True)
-    key, rows, cols, vals = key[order], rows[order], cols[order], vals[order]
+    # Two-key sort (row major, col minor) via lexsort: a combined
+    # ``row*cols+col`` integer key overflows int32 for large shapes (x64 is
+    # disabled by default in jax).
+    order = jnp.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
 
-    # Duplicate-coordinate merge on sorted keys: the first entry of each equal
-    # run absorbs the run's sum; later entries of the run are zeroed in place
-    # (their coordinates remain — harmless explicit zeros at static capacity).
+    # Duplicate-coordinate merge on sorted entries: the first entry of each
+    # equal run absorbs the run's sum; later entries of the run are zeroed in
+    # place (their coordinates remain — harmless explicit zeros at static
+    # capacity).
     first = jnp.concatenate(
-        [jnp.ones(1, dtype=bool), key[1:] != key[:-1]]
+        [jnp.ones(1, dtype=bool),
+         (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])]
     )
     seg = jnp.cumsum(first) - 1  # dense run ids, sorted
     summed = jax.ops.segment_sum(vals, seg, num_segments=n,

@@ -104,10 +104,13 @@ def _spgemm_bounded_jit(a: CSR, b: CSR, max_b_row: int) -> CSR:
         return CSR.empty((a.rows, b.cols), dtype=a.dtype)
     rows, cols, vals = _expand(a, b, max_b_row)
     n = vals.shape[0]
-    key = rows.astype(jnp.int64) * b.cols + cols.astype(jnp.int64)
-    order = jnp.argsort(key, stable=True)
-    key, rows, cols, vals = key[order], rows[order], cols[order], vals[order]
-    first = jnp.concatenate([jnp.ones(1, dtype=bool), key[1:] != key[:-1]])
+    # lexsort (not a combined int key): row*cols+col overflows int32 at scale
+    order = jnp.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    first = jnp.concatenate(
+        [jnp.ones(1, dtype=bool),
+         (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])]
+    )
     seg = jnp.cumsum(first) - 1
     summed = jax.ops.segment_sum(vals, seg, num_segments=n,
                                  indices_are_sorted=True)
