@@ -52,12 +52,24 @@ cholesky_decomp = cholesky
 
 
 def cholesky_auto(a: CSR) -> CSR:
-    """Dispatch between the dense XLA path and the level-scheduled sparse
-    path based on size/density."""
+    """Dispatch: dense XLA path for small/dense matrices; for large sparse
+    SPD, the supernodal panel factorization when the pattern amalgamates
+    into panels (average width ≥ 2 — dense MXU updates), else the scalar
+    scatter-list path."""
     check(a.rows == a.cols, NonSquareMatrix,
           f"cholesky requires square matrix, got {a.dims}")
     if a.rows <= 2048 or a.get_density() > 0.05:
         return cholesky(a)
     from . import sparse_cholesky as _sc
+    from . import supernodal as _sn
 
+    sched = _sn.analyze_supernodal(a)
+    if getattr(sched, "avg_panel_width", 1.0) >= 2.0:
+        # panels amalgamate → dense MXU updates pay off
+        import jax
+        import numpy as np
+
+        lvals = np.asarray(
+            jax.device_get(_sn.factorize_supernodal(sched, a.values)))
+        return _sn.assemble_factor(a, lvals)
     return _sc.cholesky_sparse(a)
