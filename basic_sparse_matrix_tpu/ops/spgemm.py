@@ -36,8 +36,17 @@ def spgemm_dense(a: CSR, b: CSR) -> jax.Array:
     return spmm(a, b.todense())
 
 
+DENSE_OUTPUT_BUDGET = 1 << 30  # bytes the densified RHS/output may occupy
+EXPANSION_BUDGET = 1 << 27     # entries the bounded path may expand to
+
+
 def spgemm(a: CSR, b: CSR) -> CSR:
     """Sparse × sparse → CSR — reference ``mul_sparse`` (sparse.rs:601-635).
+
+    Dispatch: masked-dense (MXU matmul over the densified RHS) while the
+    dense intermediates fit the budget — the fastest formulation at
+    reference scale — else the static-capacity expand/merge path
+    (:func:`spgemm_bounded`), compacted on the host.
 
     Note: the reference performs *no* inner-dimension check (unlike
     ``mul_dense``); we add one, since silent garbage is not an API worth
@@ -45,7 +54,18 @@ def spgemm(a: CSR, b: CSR) -> CSR:
     """
     check(a.cols == b.rows, IncorrectDimensions,
           f"mul_sparse: {a.dims} × {b.dims}")
-    return CSR.from_dense(jax.device_get(spgemm_dense(a, b)))
+    dense_bytes = 4 * max(b.rows * b.cols, a.rows * b.cols)
+    if dense_bytes <= DENSE_OUTPUT_BUDGET:
+        return CSR.from_dense(jax.device_get(spgemm_dense(a, b)))
+    import numpy as np
+
+    b_indptr = np.asarray(b.indptr)
+    max_b_row = int(np.max(np.diff(b_indptr))) if b.stored else 0
+    expansion = a.stored * max_b_row
+    check(expansion <= EXPANSION_BUDGET, IncorrectDimensions,
+          f"spgemm expansion {expansion} exceeds budget; pre-partition the "
+          f"operands or raise EXPANSION_BUDGET")
+    return spgemm_bounded(a, b, max(expansion, 1)).compacted()
 
 
 # Parity alias.

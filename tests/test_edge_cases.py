@@ -132,3 +132,35 @@ class TestLargeShapeIndexing:
         c = add_sparse(a, b)
         assert c.get_val_at((0, n - 1)) == 4.0
         assert c.get_val_at((n - 1, 0)) == 6.0
+
+
+class TestLargeSpgemm:
+    def test_spgemm_large_shape_sparse_path(self):
+        # shape too large to densify: must route through the bounded path
+        n = 40_000  # 40k x 40k dense would be 6.4 GB
+        rng = np.random.default_rng(0)
+        nnz = 2000
+        import basic_sparse_matrix_tpu.ops.spgemm as G
+
+        a = CSR.from_coo_arrays(
+            (n, n), rng.integers(0, n, nnz), rng.integers(0, n, nnz),
+            rng.standard_normal(nnz).astype(np.float32))
+        b = CSR.from_coo_arrays(
+            (n, n), rng.integers(0, n, nnz), rng.integers(0, n, nnz),
+            rng.standard_normal(nnz).astype(np.float32))
+        c = mul_sparse(a, b)
+        assert c.shape == (n, n)
+        # oracle via scipy on the same operands
+        scipy_sparse = pytest.importorskip("scipy.sparse")
+        from basic_sparse_matrix_tpu.ops.interop import to_scipy
+
+        want = (to_scipy(a) @ to_scipy(b)).tocoo()
+        got = to_scipy(c).tocoo()
+        gd = {(int(r), int(cc)): float(v)
+              for r, cc, v in zip(got.row, got.col, got.data) if v != 0}
+        wd = {(int(r), int(cc)): float(v)
+              for r, cc, v in zip(want.row, want.col, want.data)
+              if abs(v) > 1e-12}
+        assert set(gd) == set(wd)
+        for k in wd:
+            assert abs(gd[k] - wd[k]) < 1e-4
