@@ -1,4 +1,6 @@
 from .cholesky import cholesky, cholesky_auto, cholesky_decomp, cholesky_dense
+from .sparse_cholesky import cholesky_sparse
+from .supernodal import cholesky_supernodal
 from .qr import (eigen_values, eigen_values_dense, eigen_values_sym, qr_decomp, qr_dense)
 from .pcg import PCGSetup, pcg_solve
 from .solve import solve, solve_auto, solve_dense, solve_sparse
@@ -10,6 +12,8 @@ from .triangular import (
 
 __all__ = [
     "cholesky",
+    "cholesky_sparse",
+    "cholesky_supernodal",
     "cholesky_auto",
     "cholesky_decomp",
     "cholesky_dense",

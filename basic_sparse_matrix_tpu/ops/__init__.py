@@ -1,4 +1,6 @@
 from .coo import COO
+from .ell import ELL, csr_to_ell, spmm_ell, spmv_ell
+from .interop import from_bcoo, from_scipy, to_bcoo, to_scipy
 from .csr import CSR, CsrEntry
 from .dense import Dense, DenseS
 from .elementwise import (
@@ -18,6 +20,14 @@ __all__ = [
     "CSR",
     "CsrEntry",
     "COO",
+    "ELL",
+    "csr_to_ell",
+    "spmm_ell",
+    "spmv_ell",
+    "to_bcoo",
+    "from_bcoo",
+    "to_scipy",
+    "from_scipy",
     "Dense",
     "DenseS",
     "transpose",
