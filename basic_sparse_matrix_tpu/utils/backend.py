@@ -33,6 +33,11 @@ def ensure_multidevice(minimum: int = 2, simulate: int = 8) -> int:
     back to a simulated CPU mesh. Returns the device count."""
     import jax
 
-    if len(jax.devices()) >= minimum:
-        return len(jax.devices())
+    try:
+        if len(jax.devices()) >= minimum:
+            return len(jax.devices())
+    except RuntimeError:
+        # requested platform unavailable (e.g. JAX_PLATFORMS names a plugin
+        # that isn't registered in this process) — fall through to CPU
+        pass
     return force_cpu_devices(simulate)
