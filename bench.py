@@ -128,7 +128,7 @@ def main():
         # is the only trustworthy completion fence.
         return float(jnp.sum(out[:1, :1]))
 
-    def measure(fn, *args, i1=500, i2=4500, reps=2):
+    def measure(fn, *args, i1=1000, i2=9000, reps=3):
         fence(fn(*args, i1))  # compile both variants + warm the fetch path
         fence(fn(*args, i2))
         t = {}

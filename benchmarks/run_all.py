@@ -161,6 +161,12 @@ def main():
             emit("sd_mul", e, dt, {"elements_per_s": e / dt,
                                    "gflops": 2 * e * 128 / dt / 1e9})
     if "ss_add" in groups:
+        for i in (8,):  # top sweep point; pass --groups ss_add_full for all
+            e = 10000 * (i + 1) * 10
+            dt, extra = bench_ss_add(e, max(args.i1 // 10, 20),
+                                     max(args.i2 // 10, 100))
+            emit("ss_add", e, dt, extra)
+    if "ss_add_full" in groups:
         for i in (0, 4, 8):  # subset of sparse_dense_mul.rs:39-41 sweep
             e = 10000 * (i + 1) * 10
             dt, extra = bench_ss_add(e, args.i1, args.i2)
