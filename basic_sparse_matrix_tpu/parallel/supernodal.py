@@ -1,0 +1,102 @@
+"""Distributed supernodal Cholesky (panel-granular D3).
+
+The supernodal numeric phase (:mod:`models.supernodal`) parallelises the
+same way as the scalar scatter-list one (:mod:`parallel.cholesky`): within a
+fan-in level, both the panel-update batch and the panel finalisations are
+independent, so each device takes a slice of the level's update list and of
+its panel list, and one ``psum`` per phase merges the disjoint
+contributions. The per-update work here is a dense outer product (MXU) —
+this is the "fan-out elimination-tree schedule with column-panel broadcasts"
+of BASELINE.json's north star, with the broadcast realised as the
+psum-replicated factor value array.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..models.supernodal import (
+    SupernodalSchedule,
+    analyze_supernodal,
+    assemble_factor,
+)
+from ..ops.csr import CSR
+from .mesh import ROWS
+
+
+def _split(a: np.ndarray, num: int, pad_value) -> np.ndarray:
+    nlev, m = a.shape[0], a.shape[1]
+    pad = (-m) % num
+    if pad:
+        widths = [(0, 0), (0, pad)] + [(0, 0)] * (a.ndim - 2)
+        a = np.pad(a, widths, constant_values=pad_value)
+    m = a.shape[1]
+    return a.reshape((nlev, num, m // num) + a.shape[2:])
+
+
+def factorize_supernodal_sharded(sched: SupernodalSchedule, a_values,
+                                 mesh) -> jax.Array:
+    num = mesh.shape[ROWS]
+    scratch = sched.nnz_l
+    uga = jnp.asarray(_split(np.asarray(sched.upd_gather_a), num, scratch))
+    ugb = jnp.asarray(_split(np.asarray(sched.upd_gather_b), num, scratch))
+    usc = jnp.asarray(_split(np.asarray(sched.upd_scatter), num, scratch))
+    tpos = jnp.asarray(_split(np.asarray(sched.top_pos), num, scratch))
+    bpos = jnp.asarray(_split(np.asarray(sched.below_pos), num, scratch))
+    tval = jnp.asarray(_split(np.asarray(sched.top_valid), num, False))
+    nlev = uga.shape[0]
+    a_vals = jnp.asarray(a_values)
+
+    def body(uga, ugb, usc, tpos, bpos, tval, a_vals):
+        lvals = jnp.zeros(sched.nnz_l + 1, dtype=jnp.float32)
+        lvals = lvals.at[sched.a_src_pos].add(
+            a_vals[sched.a_vals_idx].astype(jnp.float32))
+
+        def level_step(lv, lvals):
+            # local slice of this level's panel-update batch → psum merge
+            A = lvals[uga[lv, 0]]
+            B = lvals[ugb[lv, 0]]
+            U = jnp.einsum("uiw,ujw->uij", A, B,
+                           precision=jax.lax.Precision.HIGHEST)
+            delta = jnp.zeros_like(lvals).at[usc[lv, 0]].add(-U)
+            delta = delta.at[-1].set(0.0)
+            lvals = lvals + jax.lax.psum(delta, ROWS)
+
+            # local slice of this level's panels → psum publish
+            T = lvals[tpos[lv, 0]]
+            valid = tval[lv, 0]
+            eye = jnp.eye(T.shape[-1], dtype=T.dtype)
+            Tsym = T + jnp.where(valid[:, :, None] & valid[:, None, :],
+                                 0.0, eye)
+            Lt = jnp.linalg.cholesky(
+                Tsym + jnp.triu(jnp.swapaxes(Tsym, 1, 2), 1))
+            Bp = lvals[bpos[lv, 0]]
+            Bn = jax.scipy.linalg.solve_triangular(
+                Lt, jnp.swapaxes(Bp, 1, 2), lower=True)
+            Bn = jnp.swapaxes(Bn, 1, 2)
+            newT = jnp.where(jnp.isfinite(Lt), jnp.tril(Lt), 0.0)
+            fix = jnp.zeros_like(lvals).at[tpos[lv, 0]].add(newT - T)
+            fix = fix.at[bpos[lv, 0]].add(Bn - Bp)
+            fix = fix.at[-1].set(0.0)
+            return lvals + jax.lax.psum(fix, ROWS)
+
+        lvals = jax.lax.fori_loop(0, nlev, level_step, lvals)
+        return lvals[:-1]
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, ROWS), P(None, ROWS), P(None, ROWS),
+                  P(None, ROWS), P(None, ROWS), P(None, ROWS), P()),
+        out_specs=P(),
+    )
+    return jax.jit(f)(uga, ugb, usc, tpos, bpos, tval, a_vals)
+
+
+def cholesky_supernodal_distributed(a: CSR, mesh) -> CSR:
+    sched = analyze_supernodal(a)
+    lvals = np.asarray(
+        jax.device_get(factorize_supernodal_sharded(sched, a.values, mesh)))
+    return assemble_factor(a, lvals, sched)

@@ -97,3 +97,33 @@ def test_sharded_triangular_vector_rhs(mesh8):
     y = np.asarray(solve_triangular_sharded(
         sched, np.asarray([7.0, 3.0, 1.0], dtype=np.float32), mesh8))
     assert np.allclose(y, [7 / 5, -4.1, 25.5], rtol=1e-5)
+
+
+def test_distributed_supernodal_matches_single(mesh8):
+    from basic_sparse_matrix_tpu.models.supernodal import cholesky_supernodal
+    from basic_sparse_matrix_tpu.parallel.supernodal import (
+        cholesky_supernodal_distributed,
+    )
+
+    a = CSR.from_dense(_lap2d(6))
+    l_single = cholesky_supernodal(a)
+    l_dist = cholesky_supernodal_distributed(a, mesh8)
+    assert np.allclose(np.asarray(l_single.todense()),
+                       np.asarray(l_dist.todense()), rtol=1e-5, atol=1e-6)
+    ref = np.linalg.cholesky(_lap2d(6).astype(np.float64))
+    assert np.allclose(np.asarray(l_dist.todense()), ref, rtol=1e-4,
+                       atol=1e-4)
+
+
+def test_distributed_supernodal_dense_and_arrow(mesh8):
+    from basic_sparse_matrix_tpu.parallel.supernodal import (
+        cholesky_supernodal_distributed,
+    )
+
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((16, 16))
+    spd = (m @ m.T + 16 * np.eye(16)).astype(np.float32)
+    l = cholesky_supernodal_distributed(CSR.from_dense(spd), mesh8)
+    assert np.allclose(np.asarray(l.todense()),
+                       np.linalg.cholesky(spd.astype(np.float64)),
+                       rtol=1e-4, atol=1e-4)
