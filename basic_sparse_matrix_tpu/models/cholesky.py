@@ -58,7 +58,11 @@ def cholesky_auto(a: CSR) -> CSR:
     scatter-list path."""
     check(a.rows == a.cols, NonSquareMatrix,
           f"cholesky requires square matrix, got {a.dims}")
-    if a.rows <= 2048 or a.get_density() > 0.05:
+    from ..utils.config import get_config
+
+    cfg = get_config()
+    if (a.rows <= cfg.dense_cholesky_max_n
+            or a.get_density() > cfg.dense_cholesky_min_density):
         return cholesky(a)
     from . import sparse_cholesky as _sc
     from . import supernodal as _sn

@@ -64,6 +64,10 @@ def solve_auto(a: CSR, b) -> jax.Array:
     """Dispatch between the dense XLA pipeline (small or dense-ish A) and
     the sparse level-scheduled pipeline (large sparse A) — mirroring
     ``cholesky_auto``'s policy."""
-    if a.rows <= 2048 or a.get_density() > 0.05:
+    from ..utils.config import get_config
+
+    cfg = get_config()
+    if (a.rows <= cfg.dense_cholesky_max_n
+            or a.get_density() > cfg.dense_cholesky_min_density):
         return solve(a, b)
     return solve_sparse(a, b)

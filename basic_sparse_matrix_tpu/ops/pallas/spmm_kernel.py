@@ -234,5 +234,7 @@ def bsr_profitable(a: CSR, n: int) -> bool:
         bkey = (rows // bm).astype(np.int64) * (-(-a.cols // bk)) \
             + indices // bk
         nblocks = int(np.unique(bkey).shape[0])
-        fill = a.stored / (nblocks * bm * bk)
-    return fill >= 0.02
+        from ...utils.config import get_config
+
+    fill = a.stored / (nblocks * bm * bk)
+    return fill >= get_config().bsr_min_fill

@@ -73,8 +73,6 @@ def spmm_to_csr(a: CSR, b) -> CSR:
     return CSR.from_dense(jax.device_get(mul_dense(a, b)))
 
 
-DENSE_DISPATCH_DENSITY = 0.05
-DENSE_DISPATCH_MAX_BYTES = 2 << 30  # densified A must stay under 2 GiB
 
 
 def spmm_auto(a: CSR, b: jax.Array) -> jax.Array:
@@ -92,13 +90,15 @@ def spmm_auto(a: CSR, b: jax.Array) -> jax.Array:
     * **gather/segment** (hypersparse, CPU, or traced operands): the
       general fallback.
     """
+    from ..utils.config import get_config
     from .pallas import spmm_kernel as _k
 
+    cfg = get_config()
     concrete = not isinstance(a.values, jax.core.Tracer)
     if (
         concrete
-        and a.get_density() >= DENSE_DISPATCH_DENSITY
-        and 4 * a.rows * a.cols <= DENSE_DISPATCH_MAX_BYTES
+        and a.get_density() >= cfg.dense_dispatch_density
+        and 4 * a.rows * a.cols <= cfg.dense_dispatch_max_bytes
     ):
         dense = getattr(a, "_dense_cache", None)
         if dense is None:
@@ -111,7 +111,7 @@ def spmm_auto(a: CSR, b: jax.Array) -> jax.Array:
     if concrete and a.stored:
         from . import ell as _e
 
-        if _e.ell_overhead(a) <= 2.0:
+        if _e.ell_overhead(a) <= cfg.ell_max_overhead:
             # padded-row gather+reduce: no scatter, ~4x the segment path
             return _e.spmm_ell_from_csr(a, b)
     return spmm(a, b)

@@ -23,6 +23,9 @@ class Config:
     rhs_tile: int = 128
     # Dispatch thresholds.
     bsr_min_fill: float = 0.02      # block fill below which gather path wins
+    dense_dispatch_density: float = 0.05   # densify-SpMM threshold
+    dense_dispatch_max_bytes: int = 2 << 30
+    ell_max_overhead: float = 2.0   # padded-slots/true-nnz cap for ELL
     dense_cholesky_max_n: int = 2048
     dense_cholesky_min_density: float = 0.05
     # Numerics.
