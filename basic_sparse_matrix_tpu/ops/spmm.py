@@ -104,8 +104,10 @@ def spmm_auto(a: CSR, b: jax.Array) -> jax.Array:
         if dense is None:
             dense = a.todense().astype(jnp.float32)
             object.__setattr__(a, "_dense_cache", dense)
+        from ..utils.config import matmul_precision
+
         return jnp.dot(dense, b.astype(dense.dtype),
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=matmul_precision())
     if _k.bsr_profitable(a, b.shape[-1]):
         return _k.spmm_bsr_from_csr(a, b)
     if concrete and a.stored:

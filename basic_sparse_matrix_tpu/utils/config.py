@@ -74,3 +74,11 @@ def get_config() -> Config:
 def set_config(cfg: Config) -> None:
     global _config
     _config = cfg
+
+
+def matmul_precision():
+    """The configured jax matmul precision (lax.Precision)."""
+    import jax
+
+    name = get_config().matmul_precision.upper()
+    return getattr(jax.lax.Precision, name, jax.lax.Precision.HIGHEST)
