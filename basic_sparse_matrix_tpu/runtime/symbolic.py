@@ -311,3 +311,33 @@ def supernodes(col_ptr, row_idx, parent, *, relax: int = 0) -> np.ndarray:
             sid += 1
         super_id[j] = sid
     return super_id
+
+
+def rcm_ordering(n: int, indptr, indices) -> np.ndarray:
+    """Reverse Cuthill–McKee ordering of a symmetric pattern (pass the full
+    symmetric CSR adjacency). Returns ``perm`` such that ``A[perm][:, perm]``
+    has reduced bandwidth — improving gather locality for SpMM and reducing
+    Cholesky fill (classic preprocessing the reference has no equivalent
+    for)."""
+    indptr, indices = _c64(indptr), _c64(indices)
+    degree = np.diff(indptr)
+    visited = np.zeros(n, dtype=bool)
+    order = np.empty(n, dtype=np.int64)
+    pos = 0
+    # BFS from minimum-degree start nodes, neighbours sorted by degree
+    for start_candidate in np.argsort(degree, kind="stable"):
+        if visited[start_candidate]:
+            continue
+        queue = [int(start_candidate)]
+        visited[start_candidate] = True
+        while queue:
+            node = queue.pop(0)
+            order[pos] = node
+            pos += 1
+            nbrs = indices[indptr[node]:indptr[node + 1]]
+            nbrs = [int(x) for x in nbrs if not visited[x] and x != node]
+            nbrs.sort(key=lambda x: degree[x])
+            for x in nbrs:
+                visited[x] = True
+            queue.extend(nbrs)
+    return order[::-1].copy()  # reverse CM
