@@ -1,6 +1,7 @@
 from .coo import COO
 from .ell import ELL, csr_to_ell, spmm_ell, spmv_ell
 from .interop import from_bcoo, from_scipy, to_bcoo, to_scipy
+from .reorder import apply_perm, bandwidth, permute_symmetric, rcm_permutation
 from .csr import CSR, CsrEntry
 from .dense import Dense, DenseS
 from .elementwise import (
@@ -28,6 +29,10 @@ __all__ = [
     "from_bcoo",
     "to_scipy",
     "from_scipy",
+    "rcm_permutation",
+    "permute_symmetric",
+    "apply_perm",
+    "bandwidth",
     "Dense",
     "DenseS",
     "transpose",

@@ -161,3 +161,26 @@ def spmm_ring(sa: ShardedCSR, b: jax.Array, mesh) -> jax.Array:
         sa.indptr, sa.indices, sa.values,
         b_padded.reshape(num, kps, *b.shape[1:]),
     )
+
+
+def spmm_sharded_ell(ell, b: jax.Array, mesh) -> jax.Array:
+    """Row-sharded SpMM over an ELL operand with replicated RHS — the
+    gather/reduce formulation (no scatter) distributed by simply sharding
+    the rectangular (rows, width) arrays over the ``rows`` axis. Returns the
+    row-sharded product of shape (padded rows, n_rhs)."""
+    num = mesh.shape[ROWS]
+    rows = ell.cols.shape[0]
+    pad = (-rows) % num
+    cols = jnp.pad(ell.cols, ((0, pad), (0, 0)))
+    vals = jnp.pad(ell.vals, ((0, pad), (0, 0)))
+
+    def body(c, v, b):
+        return jnp.einsum("rp,rpn->rn", v.astype(b.dtype), b[c],
+                          precision=jax.lax.Precision.HIGHEST)
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(ROWS), P(ROWS), P()),
+        out_specs=P(ROWS),
+    )
+    return jax.jit(f)(cols, vals, b)

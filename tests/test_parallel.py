@@ -121,3 +121,16 @@ def test_mesh_2d():
     mesh = make_mesh((4, 2))
     assert mesh.axis_names == ("rows", "cols")
     assert mesh.devices.shape == (4, 2)
+
+
+def test_spmm_sharded_ell(mesh8):
+    from basic_sparse_matrix_tpu.ops.ell import csr_to_ell
+    from basic_sparse_matrix_tpu.parallel.spmm import spmm_sharded_ell
+
+    rng = np.random.default_rng(9)
+    d = ((rng.random((100, 64)) < 0.1)
+         * rng.standard_normal((100, 64))).astype(np.float32)
+    ell = csr_to_ell(CSR.from_dense(d))
+    b = rng.standard_normal((64, 5)).astype(np.float32)
+    y = np.asarray(spmm_sharded_ell(ell, jnp.asarray(b), mesh8))[:100]
+    assert np.allclose(y, d @ b, rtol=1e-4, atol=1e-4)
