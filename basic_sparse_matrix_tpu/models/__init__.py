@@ -2,6 +2,7 @@ from .cholesky import cholesky, cholesky_auto, cholesky_decomp, cholesky_dense
 from .sparse_cholesky import cholesky_sparse
 from .supernodal import cholesky_supernodal
 from .qr import (eigen_values, eigen_values_dense, eigen_values_sym, qr_decomp, qr_dense)
+from .operator import SparseOperator
 from .pcg import PCGSetup, pcg_solve
 from .solve import solve, solve_auto, solve_dense, solve_sparse
 from .triangular import (
@@ -28,6 +29,7 @@ __all__ = [
     "solve_auto",
     "pcg_solve",
     "PCGSetup",
+    "SparseOperator",
     "forward_substitution",
     "backward_substitution",
     "solve_triangular_dense",

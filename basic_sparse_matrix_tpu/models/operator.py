@@ -1,0 +1,80 @@
+"""Prepared linear operator — the serving-path convenience wrapper.
+
+Production use reuses one matrix across many multiplies/solves. A
+:class:`SparseOperator` prepares everything once (format conversions,
+factorization schedules, preconditioner) and exposes cheap repeated calls —
+the deployment-shaped API the reference's one-shot functions don't offer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.csr import CSR
+from ..ops.spmm import mul_dense, mul_vector
+from ..utils.errors import NonSquareMatrix, check
+
+
+@dataclasses.dataclass
+class SparseOperator:
+    """Wraps a CSR with memoised fast-path state.
+
+    ``matmul``/``matvec`` reuse the dispatch caches on the CSR instance;
+    ``solve`` lazily builds and caches the direct-solve schedules (sparse
+    Cholesky + triangular solves); ``solve_cg`` lazily builds the IC(0)-PCG
+    setup.
+    """
+
+    a: CSR
+    _direct: Optional[tuple] = None
+    _pcg: Optional[object] = None
+
+    # ------------------------------------------------------------------ #
+    def matmul(self, b) -> jax.Array:
+        return mul_dense(self.a, b)
+
+    def matvec(self, x) -> jax.Array:
+        return mul_vector(self.a, x)
+
+    __matmul__ = matmul
+
+    # ------------------------------------------------------------------ #
+    def _ensure_direct(self):
+        if self._direct is None:
+            check(self.a.rows == self.a.cols, NonSquareMatrix,
+                  "solve needs square operator")
+            from .sparse_cholesky import cholesky_sparse
+            from .sparse_triangular import build_schedule
+
+            l = cholesky_sparse(self.a)
+            fwd = build_schedule(l, lower=True)
+            bwd = build_schedule(l.transpose(), lower=False)
+            self._direct = (l, fwd, bwd)
+        return self._direct
+
+    def solve(self, b) -> jax.Array:
+        """Direct SPD solve; the factorization is computed once and reused
+        for every subsequent right-hand side."""
+        from .sparse_triangular import _solve_scheduled
+
+        _, fwd, bwd = self._ensure_direct()
+        b = jnp.asarray(b, dtype=jnp.float32)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        y = _solve_scheduled(fwd, b)
+        x = jnp.flip(_solve_scheduled(bwd, jnp.flip(y, 0)), 0)
+        return x[:, 0] if squeeze else x
+
+    def solve_cg(self, b, tol: float = 1e-6, max_iters: int = 1000):
+        """IC(0)-preconditioned CG; the preconditioner is built once."""
+        from .pcg import PCGSetup, pcg_solve
+
+        if self._pcg is None:
+            self._pcg = PCGSetup.build(self.a)
+        return pcg_solve(self.a, b, tol=tol, max_iters=max_iters,
+                         setup=self._pcg)
