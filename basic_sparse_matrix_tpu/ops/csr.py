@@ -214,7 +214,11 @@ class CSR:
     # ------------------------------------------------------------------ #
     def todense(self) -> jax.Array:
         """Scatter stored entries into a dense array (duplicates sum).
-        Jit-compatible."""
+        Jit-compatible. Guarded against shapes whose flat index would
+        overflow int32 (x64 is off by default) — such arrays would not fit
+        memory anyway."""
+        check(self.rows * self.cols < 2**31, IncorrectDimensions,
+              f"todense of {self.dims} would overflow int32 flat indexing")
         flat = jnp.zeros(self.rows * self.cols, dtype=self.dtype)
         pos = self.row_ids() * self.cols + self.indices
         flat = flat.at[pos].add(self.values)

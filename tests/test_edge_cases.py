@@ -164,3 +164,12 @@ class TestLargeSpgemm:
         assert set(gd) == set(wd)
         for k in wd:
             assert abs(gd[k] - wd[k]) < 1e-4
+
+    def test_todense_overflow_guard(self):
+        from basic_sparse_matrix_tpu.utils.errors import IncorrectDimensions
+        import pytest as _pytest
+
+        n = 100_000
+        a = CSR.from_coo_arrays((n, n), [0], [0], [1.0])
+        with _pytest.raises(IncorrectDimensions):
+            a.todense()
