@@ -67,7 +67,7 @@ def cholesky_auto(a: CSR) -> CSR:
     from . import sparse_cholesky as _sc
     from . import supernodal as _sn
 
-    sched = _sn.analyze_supernodal(a)
+    sched = _sn.analyze_supernodal(a, relax=cfg.supernodal_relax)
     if getattr(sched, "avg_panel_width", 1.0) >= 2.0:
         # panels amalgamate → dense MXU updates pay off
         import jax

@@ -63,7 +63,12 @@ jax.tree_util.register_dataclass(
 )
 
 
-def analyze_supernodal(a: CSR) -> SupernodalSchedule:
+def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
+    """``relax > 0`` amalgamates near-identical columns into wider panels by
+    EXPANDING the factor pattern (explicit zeros): every column of a
+    supernode takes the union row structure, restoring the fundamental
+    property by construction. More padding, fewer/fatter MXU panels — the
+    TPU-friendly trade."""
     check(a.rows == a.cols, NonSquareMatrix, f"needs square, got {a.dims}")
     n = a.rows
     indptr, indices, values = a.numpy()
@@ -92,17 +97,44 @@ def analyze_supernodal(a: CSR) -> SupernodalSchedule:
         return np.searchsorted(csc_keys, np.asarray(j_arr) * n
                                + np.asarray(i_arr))
 
-    # A scatter positions (lower incl diagonal).
-    keep = indices <= rows
-    a_src_pos = pos_vec(rows[keep], indices[keep])
-    a_vals_idx = np.nonzero(keep)[0]
-
-    # Supernode partition (fundamental).
-    sid = symbolic.supernodes(col_ptr, csc_rows, parent, relax=0)
+    # Supernode partition.
+    sid = symbolic.supernodes(col_ptr, csc_rows, parent, relax=relax)
     nsn = int(sid.max()) + 1 if n else 0
     col_of = [np.nonzero(sid == s)[0] for s in range(nsn)]
     c0 = np.asarray([c[0] for c in col_of])
     c1 = np.asarray([c[-1] + 1 for c in col_of])
+
+    if relax > 0:
+        # Pattern expansion: every column of a supernode takes the union of
+        # the panel's below rows (plus its panel tail). Restores the
+        # fundamental property; added slots are explicit zeros and all
+        # their update contributions are exactly zero.
+        new_rows, new_cols = [], []
+        for sId in range(nsn):
+            lo, hi = int(c0[sId]), int(c1[sId])
+            u = np.unique(csc_rows[col_ptr[lo]:col_ptr[hi]])
+            below_u = u[u >= hi]
+            for j in range(lo, hi):
+                rows_j = np.concatenate(
+                    [np.arange(j, hi, dtype=np.int64), below_u])
+                new_rows.append(rows_j)
+                new_cols.append(np.full(rows_j.size, j, dtype=np.int64))
+        csc_rows = np.concatenate(new_rows)
+        csc_cols = np.concatenate(new_cols)
+        order = np.lexsort((csc_rows, csc_cols))
+        csc_rows, csc_cols = csc_rows[order], csc_cols[order]
+        nnz_l = csc_rows.shape[0]
+        col_ptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(col_ptr[1:], csc_cols, 1)
+        col_ptr = np.cumsum(col_ptr)
+        csc_keys = csc_cols * n + csc_rows
+
+    # A scatter positions (lower incl diagonal) — AFTER any pattern
+    # expansion so positions index the final value array.
+    keep = indices <= rows
+    a_src_pos = pos_vec(rows[keep], indices[keep])
+    a_vals_idx = np.nonzero(keep)[0]
+
     # below rows of each supernode = below-diag rows of its LAST column
     # (fundamental property: first column's rows = panel cols + these)
     below = [csc_rows[col_ptr[c1[s] - 1] + 1 : col_ptr[c1[s]]]

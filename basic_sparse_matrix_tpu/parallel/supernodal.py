@@ -95,8 +95,8 @@ def factorize_supernodal_sharded(sched: SupernodalSchedule, a_values,
     return jax.jit(f)(uga, ugb, usc, tpos, bpos, tval, a_vals)
 
 
-def cholesky_supernodal_distributed(a: CSR, mesh) -> CSR:
-    sched = analyze_supernodal(a)
+def cholesky_supernodal_distributed(a: CSR, mesh, *, relax: int = 0) -> CSR:
+    sched = analyze_supernodal(a, relax=relax)
     lvals = np.asarray(
         jax.device_get(factorize_supernodal_sharded(sched, a.values, mesh)))
     return assemble_factor(a, lvals, sched)

@@ -295,20 +295,26 @@ def supernodes(col_ptr, row_idx, parent, *, relax: int = 0) -> np.ndarray:
     n = col_ptr.shape[0] - 1
     super_id = np.zeros(n, dtype=np.int64)
     sid = 0
+    budget = relax  # extra-row budget PER SUPERNODE, not per pair
     for j in range(1, n):
         mergeable = parent[j - 1] == j
         if mergeable:
             # fundamental condition: below-diag struct(j-1) minus {j} must
-            # equal below-diag struct(j); `relax` tolerates that many extra
-            # rows of padding (relaxed amalgamation)
+            # equal below-diag struct(j); `relax` grants a per-supernode
+            # budget of tolerated structure mismatches (relaxed
+            # amalgamation — the budget bounds total padding per panel)
             prev_below = set(
                 row_idx[col_ptr[j - 1] + 1 : col_ptr[j]].tolist()) - {j}
             cur_below = set(
                 row_idx[col_ptr[j] + 1 : col_ptr[j + 1]].tolist())
-            if len(prev_below ^ cur_below) > relax:
+            diff = len(prev_below ^ cur_below)
+            if diff > budget:
                 mergeable = False
+            else:
+                budget -= diff
         if not mergeable:
             sid += 1
+            budget = relax
         super_id[j] = sid
     return super_id
 

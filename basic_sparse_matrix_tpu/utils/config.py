@@ -28,6 +28,7 @@ class Config:
     ell_max_overhead: float = 2.0   # padded-slots/true-nnz cap for ELL
     dense_cholesky_max_n: int = 2048
     dense_cholesky_min_density: float = 0.05
+    supernodal_relax: int = 8       # per-panel padding budget (amalgamation)
     # Numerics.
     matmul_precision: str = "highest"  # this env quantizes default matmuls
     solve_dtype: str = "float32"

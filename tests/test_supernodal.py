@@ -91,3 +91,39 @@ def test_full_solve_through_supernodal_factor():
     x = np.asarray(solve_triangular_sparse(l.transpose(), y, lower=False))
     oracle = np.linalg.solve(a_dense.astype(np.float64), b)
     assert np.allclose(x, oracle, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("relax", [2, 8, 32])
+def test_relaxed_amalgamation_correct(relax):
+    from basic_sparse_matrix_tpu.ops.reorder import (
+        permute_symmetric,
+        rcm_permutation,
+    )
+
+    a_dense = _lap2d(8)
+    a = CSR.from_dense(a_dense)
+    ap = permute_symmetric(a, rcm_permutation(a))
+    import jax
+
+    sched = analyze_supernodal(ap, relax=relax)
+    lv = np.asarray(jax.device_get(factorize_supernodal(sched, ap.values)))
+    from basic_sparse_matrix_tpu.models.supernodal import assemble_factor
+
+    l = assemble_factor(ap, lv, sched)
+    ref = np.linalg.cholesky(np.asarray(ap.todense()).astype(np.float64))
+    assert np.allclose(np.asarray(l.todense()), ref, rtol=1e-4, atol=1e-4)
+    if relax >= 8:
+        assert sched.avg_panel_width > 2.0  # panels actually amalgamate
+
+
+def test_relaxed_width_grows_with_budget():
+    from basic_sparse_matrix_tpu.ops.reorder import (
+        permute_symmetric,
+        rcm_permutation,
+    )
+
+    a = CSR.from_dense(_lap2d(10))
+    ap = permute_symmetric(a, rcm_permutation(a))
+    w0 = analyze_supernodal(ap, relax=0).avg_panel_width
+    w8 = analyze_supernodal(ap, relax=8).avg_panel_width
+    assert w8 > w0
