@@ -42,11 +42,14 @@ def solve(a: CSR, b) -> jax.Array:
     return solve_dense(a.todense(), rhs)
 
 
-def solve_sparse(a: CSR, b) -> jax.Array:
-    """Fully sparse solve pipeline: level-scheduled Cholesky factorization
-    (symbolic analysis in the native runtime) + level-set-parallel forward/
-    backward substitution. The scalable counterpart of :func:`solve` for
-    matrices where densifying is wasteful."""
+def solve_sparse(a: CSR, b, *, reorder: bool = True) -> jax.Array:
+    """Fully sparse solve pipeline: RCM preordering (fill/bandwidth
+    reduction — internal, the returned x is for the original system) →
+    level-scheduled Cholesky factorization (symbolic analysis in the native
+    runtime) → level-set-parallel forward/backward substitution. The
+    scalable counterpart of :func:`solve` for matrices where densifying is
+    wasteful."""
+    from ..ops.reorder import apply_perm, permute_symmetric, rcm_permutation
     from .sparse_cholesky import cholesky_sparse
     from .sparse_triangular import solve_triangular_sparse
 
@@ -55,9 +58,17 @@ def solve_sparse(a: CSR, b) -> jax.Array:
     rhs = _as_array(b)
     check(rhs.shape[0] == a.rows, IncorrectDimensions,
           f"solve_sparse: A {a.dims} vs b {rhs.shape}")
+    perm = None
+    if reorder:
+        perm = rcm_permutation(a)
+        a = permute_symmetric(a, perm)
+        rhs = apply_perm(rhs, perm)
     l = cholesky_sparse(a)
     y = solve_triangular_sparse(l, rhs, lower=True)
-    return solve_triangular_sparse(l.transpose(), y, lower=False)
+    x = solve_triangular_sparse(l.transpose(), y, lower=False)
+    if perm is not None:
+        x = apply_perm(x, perm, inverse=True)
+    return x
 
 
 def solve_auto(a: CSR, b) -> jax.Array:
