@@ -63,7 +63,22 @@ def solve_sparse(a: CSR, b, *, reorder: bool = True) -> jax.Array:
         perm = rcm_permutation(a)
         a = permute_symmetric(a, perm)
         rhs = apply_perm(rhs, perm)
-    l = cholesky_sparse(a)
+    # factorization choice: supernodal panel phase when the (reordered)
+    # pattern amalgamates into panels (measured 3.9x the scatter-list phase
+    # on TPU at width ~9), else the scalar scatter-list path
+    from ..utils.config import get_config
+    from . import supernodal as _sn
+
+    sched = _sn.analyze_supernodal(a, relax=get_config().supernodal_relax)
+    if sched.avg_panel_width >= 2.0:
+        import jax as _jax
+        import numpy as _np
+
+        lvals = _np.asarray(_jax.device_get(
+            _sn.factorize_supernodal(sched, a.values)))
+        l = _sn.assemble_factor(a, lvals, sched)
+    else:
+        l = cholesky_sparse(a)
     y = solve_triangular_sparse(l, rhs, lower=True)
     x = solve_triangular_sparse(l.transpose(), y, lower=False)
     if perm is not None:
