@@ -32,7 +32,12 @@ class COO:
         self._dtype = dtype
         self._n = 0
 
-    with_capacity = __init__
+    @classmethod
+    def with_capacity(cls, dims: DimLike, capacity: int = 0,
+                      dtype=None) -> "COO":
+        """Constructor alias matching the reference ``COO::with_capacity``
+        (sparse.rs:41-43)."""
+        return cls(dims, capacity, dtype)
 
     def __len__(self) -> int:
         return self._n

@@ -7,12 +7,14 @@ into a CSR, dropping exact zeros (pinned by its ``test_nnz``,
 sparse.rs:1154-1178). A TPU SpMM produces a dense output array; use
 :func:`spmm_to_csr` for the reference-shaped result.
 
-Two execution paths:
-* ``spmm`` — gather/segment-sum baseline: pure XLA, works for any shape, and
-  serves as the test oracle for the Pallas kernel.
-* ``spmm_bsr`` (ops/pallas/spmm_kernel.py) — block-sparse MXU kernel fed by a
-  BSR layout with scalar-prefetched block indices; dispatched automatically by
-  :func:`spmm_auto` when profitable.
+Execution paths (``spmm_auto`` dispatches by density/structure):
+* dense MXU matmul over the memoised densified operand (≥ ~5% density)
+* ``spmm_bsr`` (ops/pallas/spmm_kernel.py) — block-sparse MXU kernel (mid
+  density on TPU)
+* ``spmm_ell`` (ops/ell.py) — padded-row gather+reduce, no scatter (low
+  row-length variance)
+* ``spmm`` — gather/segment-sum baseline: pure XLA, any shape; the test
+  oracle for the others and the traced/CPU fallback.
 """
 
 from __future__ import annotations
