@@ -75,5 +75,8 @@ def cholesky_auto(a: CSR) -> CSR:
 
         lvals = np.asarray(
             jax.device_get(_sn.factorize_supernodal(sched, a.values)))
-        return _sn.assemble_factor(a, lvals)
+        # sched is mandatory here: with relax > 0 the analyzed pattern is
+        # EXPANDED vs chol_symbolic's, so lvals only aligns with sched's
+        # own l_pattern (assemble without it silently truncates).
+        return _sn.assemble_factor(a, lvals, sched)
     return _sc.cholesky_sparse(a)

@@ -23,7 +23,20 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.csr import CSR
-from ..utils.errors import NonSquareMatrix, check
+from ..utils.errors import IncorrectDimensions, NonSquareMatrix, check
+
+
+def _check_densify_budget(a: CSR, op: str) -> None:
+    """These are dense-delegation ops; refuse inputs whose densified form
+    exceeds the dispatch budget (mirrors spmm_auto's
+    ``dense_dispatch_max_bytes``) instead of OOMing inside todense()."""
+    from ..utils.config import get_config
+
+    limit = get_config().dense_dispatch_max_bytes
+    check(4 * a.rows * a.cols <= limit, IncorrectDimensions,
+          f"{op}: densified operand {a.dims} needs {4 * a.rows * a.cols} "
+          f"bytes > dense_dispatch_max_bytes={limit}; this op has no sparse "
+          f"path (raise BSM_DENSE_DISPATCH_MAX_BYTES to override)")
 
 
 @jax.jit
@@ -34,6 +47,7 @@ def qr_dense(a: jax.Array) -> Tuple[jax.Array, jax.Array]:
 def qr_decomp(a: CSR) -> Tuple[CSR, CSR]:
     """QR of a CSR matrix — reference ``qr_decomp`` (sparse.rs:716-756).
     Returns (Q, R) as CSR (host re-sparsified, exact zeros dropped)."""
+    _check_densify_budget(a, "qr_decomp")
     q, r = jax.device_get(qr_dense(a.todense()))
     return CSR.from_dense(q), CSR.from_dense(r)
 
@@ -55,6 +69,7 @@ def eigen_values_dense(a: jax.Array, iterations: int) -> jax.Array:
 def eigen_values(a: CSR, iterations: int) -> jax.Array:
     check(a.rows == a.cols, NonSquareMatrix,
           f"eigen_values requires square matrix, got {a.dims}")
+    _check_densify_budget(a, "eigen_values")
     return eigen_values_dense(a.todense(), iterations)
 
 
@@ -70,4 +85,5 @@ def eigen_values_sym(a: CSR) -> jax.Array:
     answer the reference's unshifted QR iteration approaches)."""
     check(a.rows == a.cols, NonSquareMatrix,
           f"eigen_values_sym requires square matrix, got {a.dims}")
+    _check_densify_budget(a, "eigen_values_sym")
     return eigen_values_sym_dense(a.todense())

@@ -310,6 +310,12 @@ def assemble_factor(a: CSR, lvals: np.ndarray,
         l_rows = np.repeat(np.arange(n), np.diff(l_indptr))
         order = np.lexsort((l_rows, l_indices))
         csc_rows, csc_cols = l_rows[order], l_indices[order]
+    if len(lvals) != len(csc_rows):
+        raise ValueError(
+            f"assemble_factor: lvals length {len(lvals)} does not match the "
+            f"factor pattern ({len(csc_rows)} entries) — with an expanded "
+            f"(relax > 0) schedule, pass sched so the expanded pattern is "
+            f"used")
     return CSR.from_coo_arrays((a.rows, a.rows), csc_rows, csc_cols, lvals,
                                sum_duplicates=False, drop_zeros=False)
 

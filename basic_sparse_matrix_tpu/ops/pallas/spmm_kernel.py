@@ -214,16 +214,20 @@ def spmm_bsr_from_csr(a: CSR, b: jax.Array) -> jax.Array:
     return spmm_bsr(bsr, b)
 
 
-def bsr_profitable(a: CSR, n: int) -> bool:
+def bsr_profitable(a: CSR, n: int, *, force: bool = False) -> bool:
     """Heuristic dispatch: BSR/MXU wins when block fill is high enough that
     the padded dense-block FLOPs beat the gather path's HBM traffic, and only
-    on real TPU backends with concrete (non-traced) operands."""
-    if _interpret():
+    on real TPU backends with concrete (non-traced) operands. ``force=True``
+    bypasses the backend gate (tests exercise the fill logic + interpret-mode
+    kernel on CPU)."""
+    if _interpret() and not force:
         return False
     if isinstance(a.values, jax.core.Tracer) or not hasattr(a, "numpy"):
         return False
     if a.stored == 0 or n < 64:
         return False
+    from ...utils.config import get_config
+
     bsr = getattr(a, "_bsr_cache", None)
     if bsr is not None:
         fill = a.stored / (bsr.nblocks * bsr.bm * bsr.bk)
@@ -234,7 +238,5 @@ def bsr_profitable(a: CSR, n: int) -> bool:
         bkey = (rows // bm).astype(np.int64) * (-(-a.cols // bk)) \
             + indices // bk
         nblocks = int(np.unique(bkey).shape[0])
-        from ...utils.config import get_config
-
-    fill = a.stored / (nblocks * bm * bk)
+        fill = a.stored / (nblocks * bm * bk)
     return fill >= get_config().bsr_min_fill
