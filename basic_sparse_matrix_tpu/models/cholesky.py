@@ -67,12 +67,13 @@ def cholesky_auto(a: CSR) -> CSR:
     from . import sparse_cholesky as _sc
     from . import supernodal as _sn
 
-    sched = _sn.analyze_supernodal(a, relax=cfg.supernodal_relax)
-    if getattr(sched, "avg_panel_width", 1.0) >= 2.0:
+    width, _ = _sn.supernode_stats(a, relax=cfg.supernodal_relax)
+    if width >= 2.0:
         # panels amalgamate → dense MXU updates pay off
         import jax
         import numpy as np
 
+        sched = _sn.analyze_supernodal(a, relax=cfg.supernodal_relax)
         lvals = np.asarray(
             jax.device_get(_sn.factorize_supernodal(sched, a.values)))
         # sched is mandatory here: with relax > 0 the analyzed pattern is

@@ -43,13 +43,21 @@ def solve(a: CSR, b) -> jax.Array:
 
 
 def solve_sparse(a: CSR, b, *, reorder: bool = True) -> jax.Array:
-    """Fully sparse solve pipeline: RCM preordering (fill/bandwidth
-    reduction — internal, the returned x is for the original system) →
+    """Fully sparse solve pipeline: fill-reducing preordering (config
+    ``ordering``: auto picks the lower predicted fill of RCM vs nested
+    dissection — internal, the returned x is for the original system) →
     level-scheduled Cholesky factorization (symbolic analysis in the native
     runtime) → level-set-parallel forward/backward substitution. The
     scalable counterpart of :func:`solve` for matrices where densifying is
     wasteful."""
-    from ..ops.reorder import apply_perm, permute_symmetric, rcm_permutation
+    from ..ops.reorder import (
+        apply_perm,
+        best_permutation,
+        nd_permutation,
+        permute_symmetric,
+        rcm_permutation,
+    )
+    from ..utils.config import get_config
     from .sparse_cholesky import cholesky_sparse
     from .sparse_triangular import solve_triangular_sparse
 
@@ -60,20 +68,32 @@ def solve_sparse(a: CSR, b, *, reorder: bool = True) -> jax.Array:
           f"solve_sparse: A {a.dims} vs b {rhs.shape}")
     perm = None
     if reorder:
-        perm = rcm_permutation(a)
-        a = permute_symmetric(a, perm)
-        rhs = apply_perm(rhs, perm)
+        ordering = get_config().ordering
+        if ordering == "auto":
+            perm, _ = best_permutation(a)
+        elif ordering == "rcm":
+            perm = rcm_permutation(a)
+        elif ordering == "nd":
+            perm = nd_permutation(a)
+        if perm is not None:
+            a = permute_symmetric(a, perm)
+            rhs = apply_perm(rhs, perm)
     # factorization choice: supernodal panel phase when the (reordered)
     # pattern amalgamates into panels (measured 3.9x the scatter-list phase
-    # on TPU at width ~9), else the scalar scatter-list path
+    # on TPU at width ~9), else the scalar scatter-list path. The dispatch
+    # decision uses the cheap partition-only pass; the full supernodal
+    # schedule is built only when it wins, and both paths share one
+    # chol_symbolic via the instance cache (no double symbolic work).
     from ..utils.config import get_config
     from . import supernodal as _sn
 
-    sched = _sn.analyze_supernodal(a, relax=get_config().supernodal_relax)
-    if sched.avg_panel_width >= 2.0:
+    width, _ = _sn.supernode_stats(a, relax=get_config().supernodal_relax)
+    if width >= 2.0:
         import jax as _jax
         import numpy as _np
 
+        sched = _sn.analyze_supernodal(
+            a, relax=get_config().supernodal_relax)
         lvals = _np.asarray(_jax.device_get(
             _sn.factorize_supernodal(sched, a.values)))
         l = _sn.assemble_factor(a, lvals, sched)

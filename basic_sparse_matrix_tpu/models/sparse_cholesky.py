@@ -89,12 +89,12 @@ def analyze(a: CSR, *, incomplete: bool = False) -> CholeskySchedule:
     indptr, indices, values = a.numpy()
     rows = np.repeat(np.arange(n), np.diff(indptr))
 
-    # Strictly-lower pattern of A for the etree/fill analysis.
-    low = indices < rows
-    low_indptr = np.zeros(n + 1, dtype=np.int64)
-    np.add.at(low_indptr[1:], rows[low], 1)
-    low_indptr = np.cumsum(low_indptr)
     if incomplete:
+        # Strictly-lower pattern of A for the etree analysis.
+        low = indices < rows
+        low_indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(low_indptr[1:], rows[low], 1)
+        low_indptr = np.cumsum(low_indptr)
         parent = symbolic.etree(n, low_indptr, indices[low])
         # No-fill pattern: A's lower triangle plus an always-present diagonal.
         keep_low = indices <= rows
@@ -106,9 +106,9 @@ def analyze(a: CSR, *, incomplete: bool = False) -> CholeskySchedule:
         np.add.at(l_indptr[1:], l_rows_flat, 1)
         l_indptr = np.cumsum(l_indptr)
     else:
-        parent, l_indptr, l_indices = symbolic.chol_symbolic(
-            n, low_indptr, indices[low]
-        )
+        # shared, instance-memoised symbolic pass (one per matrix across
+        # the whole solve pipeline)
+        parent, l_indptr, l_indices = symbolic.chol_symbolic_csr(a)
 
     # Row-wise L pattern → CSC (column-wise) with diagonal first per column.
     l_rows = np.repeat(np.arange(n), np.diff(l_indptr))

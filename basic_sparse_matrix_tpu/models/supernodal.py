@@ -40,17 +40,23 @@ from ..utils.errors import NonSquareMatrix, check
 
 @dataclasses.dataclass(frozen=True)
 class SupernodalSchedule:
+    """Per-LEVEL tables (tuples of arrays, one per fan-in level): padding is
+    to each level's own maxima, not global ones — under nested-dissection
+    orderings the top separator panels are 10-100x the leaf panels, and
+    global padding blew the tables up ~150x (measured r2: 66 s host analyze
+    at n=4096; per-level tables: <0.3 s)."""
+
     # A scatter (same as scalar path)
     a_src_pos: jax.Array
     a_vals_idx: jax.Array
     # per-level update tables
-    upd_gather_a: jax.Array   # (nlev, maxU, maxI, maxW) int32 → lvals
-    upd_gather_b: jax.Array   # (nlev, maxU, maxJ, maxW)
-    upd_scatter: jax.Array    # (nlev, maxU, maxI, maxJ)
+    upd_gather_a: Tuple[jax.Array, ...]   # lv → (U, I, W) int32 → lvals
+    upd_gather_b: Tuple[jax.Array, ...]   # lv → (U, J, W)
+    upd_scatter: Tuple[jax.Array, ...]    # lv → (U, I, J)
     # per-level panel tables
-    top_pos: jax.Array        # (nlev, maxS, maxw, maxw) lower-tri positions
-    below_pos: jax.Array      # (nlev, maxS, maxr, maxw)
-    top_valid: jax.Array      # (nlev, maxS, maxw) bool: real panel column?
+    top_pos: Tuple[jax.Array, ...]        # lv → (S, W, W) lower-tri
+    below_pos: Tuple[jax.Array, ...]      # lv → (S, R, W)
+    top_valid: Tuple[jax.Array, ...]      # lv → (S, W) real panel column?
     nnz_l: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
 
@@ -63,185 +69,191 @@ jax.tree_util.register_dataclass(
 )
 
 
+def supernode_stats(a: CSR, *, relax: int = 0):
+    """Cheap partition-only analysis — enough to decide supernodal-vs-scalar
+    dispatch WITHOUT building the (much more expensive) full schedule.
+    Returns ``(avg_panel_width, parts)``; memoised per (matrix, relax).
+    ``parts`` carries everything :func:`analyze_supernodal` needs:
+    (parent, col_ptr, csc_rows, sid, c0, c1)."""
+    check(a.rows == a.cols, NonSquareMatrix, f"needs square, got {a.dims}")
+    cache = getattr(a, "_sn_stats_cache", None)
+    if cache is not None and cache[0] == relax:
+        return cache[1], cache[2]
+    n = a.rows
+    parent, l_indptr, l_indices = symbolic.chol_symbolic_csr(a)
+
+    # CSC pattern, diagonal first per column.
+    l_rows = np.repeat(np.arange(n), np.diff(l_indptr))
+    order = np.lexsort((l_rows, l_indices))
+    csc_rows = l_rows[order]
+    col_ptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(col_ptr[1:], l_indices[order], 1)
+    col_ptr = np.cumsum(col_ptr)
+
+    sid = symbolic.supernodes(col_ptr, csc_rows, parent, relax=relax)
+    nsn = int(sid.max()) + 1 if n else 0
+    # sid is non-decreasing: supernode column ranges by binary search
+    c0 = np.searchsorted(sid, np.arange(nsn))
+    c1 = np.searchsorted(sid, np.arange(nsn), side="right")
+    width = n / max(nsn, 1)
+    parts = (parent, col_ptr, csc_rows, sid, c0, c1)
+    object.__setattr__(a, "_sn_stats_cache", (relax, width, parts))
+    return width, parts
+
+
 def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
     """``relax > 0`` amalgamates near-identical columns into wider panels by
     EXPANDING the factor pattern (explicit zeros): every column of a
     supernode takes the union row structure, restoring the fundamental
     property by construction. More padding, fewer/fatter MXU panels — the
-    TPU-friendly trade."""
-    check(a.rows == a.cols, NonSquareMatrix, f"needs square, got {a.dims}")
+    TPU-friendly trade.
+
+    Construction cost: with the (possibly expanded) pattern satisfying the
+    fundamental property, every column of a panel is exactly
+    ``[tail | below]`` sorted ascending, so all gather/panel positions are
+    AFFINE in (column, rank) — no searches. Only the update scatter needs a
+    ``searchsorted`` into the target panel's below rows. Symbolic results
+    are shared with the scatter-list path via
+    ``symbolic.chol_symbolic_csr``; partition/expansion run in the native
+    runtime (csparse.cpp)."""
+    _, parts = supernode_stats(a, relax=relax)
+    parent, col_ptr, csc_rows, sid, c0, c1 = parts
     n = a.rows
+    nsn = c0.shape[0]
     indptr, indices, values = a.numpy()
     rows = np.repeat(np.arange(n), np.diff(indptr))
-    low = indices < rows
-    low_indptr = np.zeros(n + 1, dtype=np.int64)
-    np.add.at(low_indptr[1:], rows[low], 1)
-    low_indptr = np.cumsum(low_indptr)
-    parent, l_indptr, l_indices = symbolic.chol_symbolic(
-        n, low_indptr, indices[low])
-
-    # CSC pattern, diagonal first per column.
-    l_rows = np.repeat(np.arange(n), np.diff(l_indptr))
-    order = np.lexsort((l_rows, l_indices))
-    csc_rows, csc_cols = l_rows[order], l_indices[order]
-    nnz_l = csc_rows.shape[0]
-    col_ptr = np.zeros(n + 1, dtype=np.int64)
-    np.add.at(col_ptr[1:], csc_cols, 1)
-    col_ptr = np.cumsum(col_ptr)
-    csc_keys = csc_cols * n + csc_rows
-
-    def pos(i, j):
-        return np.searchsorted(csc_keys, j * n + i)
-
-    def pos_vec(i_arr, j_arr):
-        return np.searchsorted(csc_keys, np.asarray(j_arr) * n
-                               + np.asarray(i_arr))
-
-    # Supernode partition.
-    sid = symbolic.supernodes(col_ptr, csc_rows, parent, relax=relax)
-    nsn = int(sid.max()) + 1 if n else 0
-    col_of = [np.nonzero(sid == s)[0] for s in range(nsn)]
-    c0 = np.asarray([c[0] for c in col_of])
-    c1 = np.asarray([c[-1] + 1 for c in col_of])
 
     if relax > 0:
-        # Pattern expansion: every column of a supernode takes the union of
-        # the panel's below rows (plus its panel tail). Restores the
-        # fundamental property; added slots are explicit zeros and all
-        # their update contributions are exactly zero.
-        new_rows, new_cols = [], []
-        for sId in range(nsn):
-            lo, hi = int(c0[sId]), int(c1[sId])
-            u = np.unique(csc_rows[col_ptr[lo]:col_ptr[hi]])
-            below_u = u[u >= hi]
-            for j in range(lo, hi):
-                rows_j = np.concatenate(
-                    [np.arange(j, hi, dtype=np.int64), below_u])
-                new_rows.append(rows_j)
-                new_cols.append(np.full(rows_j.size, j, dtype=np.int64))
-        csc_rows = np.concatenate(new_rows)
-        csc_cols = np.concatenate(new_cols)
-        order = np.lexsort((csc_rows, csc_cols))
-        csc_rows, csc_cols = csc_rows[order], csc_cols[order]
-        nnz_l = csc_rows.shape[0]
-        col_ptr = np.zeros(n + 1, dtype=np.int64)
-        np.add.at(col_ptr[1:], csc_cols, 1)
-        col_ptr = np.cumsum(col_ptr)
-        csc_keys = csc_cols * n + csc_rows
+        # native pattern expansion (explicit zeros restore the fundamental
+        # property); sid/c0/c1 are unchanged by construction
+        col_ptr, csc_rows = symbolic.expand_pattern(
+            n, col_ptr, csc_rows, c0, c1)
+    csc_cols = np.repeat(np.arange(n), np.diff(col_ptr))
+    nnz_l = csc_rows.shape[0]
+    csc_keys = csc_cols * n + csc_rows
 
     # A scatter positions (lower incl diagonal) — AFTER any pattern
     # expansion so positions index the final value array.
     keep = indices <= rows
-    a_src_pos = pos_vec(rows[keep], indices[keep])
+    a_src_pos = np.searchsorted(csc_keys, indices[keep] * n + rows[keep])
     a_vals_idx = np.nonzero(keep)[0]
 
-    # below rows of each supernode = below-diag rows of its LAST column
-    # (fundamental property: first column's rows = panel cols + these)
-    below = [csc_rows[col_ptr[c1[s] - 1] + 1 : col_ptr[c1[s]]]
-             for s in range(nsn)]
-
     # supernode etree + fan-in levels
-    sparent = np.full(nsn, -1, dtype=np.int64)
-    for s in range(nsn):
-        p = parent[c1[s] - 1]
-        if p != -1:
-            sparent[s] = sid[p]
+    last_parent = parent[c1 - 1] if nsn else np.empty(0, dtype=np.int64)
+    sparent = np.where(last_parent != -1,
+                       sid[np.clip(last_parent, 0, max(n - 1, 0))], -1)
     slevel = np.zeros(nsn, dtype=np.int64)
-    for s in range(nsn):
+    for s in range(nsn):       # sparent[s] > s: one ascending pass suffices
         p = sparent[s]
         if p != -1:
             slevel[p] = max(slevel[p], slevel[s] + 1)
     nlev = int(slevel.max()) + 1 if nsn else 1
+    scratch = nnz_l
+    w_of = (c1 - c0).astype(np.int64)
 
-    # ---------------- update lists ----------------
-    # source supernode d sends one update per distinct target supernode
-    # among its below rows
-    updates: List[List[Tuple[np.ndarray, np.ndarray, int]]] = [
-        [] for _ in range(nlev)
-    ]
+    # ---------------- update lists, grouped by target level ----------------
+    # Update gather positions are affine: within source panel d, column
+    # c's rows are [c..hi) ++ below_d, so pos(below_d[r], c) =
+    # col_ptr[c] + (hi - c) + r.
+    updates: List[List[Tuple[int, int, int, int]]] = [[] for _ in range(nlev)]
     for d in range(nsn):
-        rd = below[d]
+        last = int(c1[d]) - 1
+        rd = csc_rows[col_ptr[last] + 1: col_ptr[last + 1]]
         if rd.size == 0:
             continue
         tgt = sid[rd]
-        boundaries = np.nonzero(np.diff(tgt))[0] + 1
-        groups = np.split(np.arange(rd.size), boundaries)
-        for g in groups:
-            s = int(tgt[g[0]])
-            j_rows = rd[g]                      # rows inside s's columns
-            i_rows = rd[g[0]:]                  # suffix: all rows ≥ first j
-            updates[int(slevel[s])].append((i_rows, j_rows, d))
+        bounds = np.nonzero(np.diff(tgt))[0] + 1
+        g0s = np.concatenate([[0], bounds])
+        g1s = np.concatenate([bounds, [rd.size]])
+        for g0, g1 in zip(g0s, g1s):
+            s = int(tgt[g0])
+            updates[int(slevel[s])].append((d, int(g0), int(g1), s))
 
-    w_of = (c1 - c0).astype(np.int64)
-    maxW = int(w_of.max()) if nsn else 1
-    maxU = max((len(u) for u in updates), default=0)
-    maxI = 1
-    maxJ = 1
-    for u in updates:
-        for i_rows, j_rows, d in u:
-            maxI = max(maxI, i_rows.size)
-            maxJ = max(maxJ, j_rows.size)
-    maxU = max(maxU, 1)
-
-    scratch = nnz_l
-    upd_ga = np.full((nlev, maxU, maxI, maxW), scratch, dtype=np.int32)
-    upd_gb = np.full((nlev, maxU, maxJ, maxW), scratch, dtype=np.int32)
-    upd_sc = np.full((nlev, maxU, maxI, maxJ), scratch, dtype=np.int32)
+    upd_ga, upd_gb, upd_sc = [], [], []
     for lv in range(nlev):
-        for u, (i_rows, j_rows, d) in enumerate(updates[lv]):
-            cols_d = np.arange(c0[d], c1[d])
-            wd = cols_d.size
-            # gather positions of L_d[i_rows, cols_d] / L_d[j_rows, cols_d]
-            gi = pos_vec(np.repeat(i_rows, wd), np.tile(cols_d, i_rows.size)
-                         ).reshape(i_rows.size, wd)
-            gj = pos_vec(np.repeat(j_rows, wd), np.tile(cols_d, j_rows.size)
-                         ).reshape(j_rows.size, wd)
-            upd_ga[lv, u, : i_rows.size, :wd] = gi
-            upd_gb[lv, u, : j_rows.size, :wd] = gj
-            # scatter targets: (i, j) for i ≥ j only (lower triangle of the
-            # leading J×J block + the full below-block); invalid pairs land
-            # in the scratch slot
-            ii = np.repeat(i_rows, j_rows.size).reshape(i_rows.size,
-                                                        j_rows.size)
-            jj = np.tile(j_rows, i_rows.size).reshape(i_rows.size,
-                                                      j_rows.size)
-            valid = ii >= jj
-            sc = np.full(ii.shape, scratch, dtype=np.int64)
-            sc[valid] = pos_vec(ii[valid], jj[valid])
-            upd_sc[lv, u, : i_rows.size, : j_rows.size] = sc
+        ups = updates[lv]
+        U = max(len(ups), 1)
+        maxI = maxJ = maxWl = 1
+        for d, g0, g1, s in ups:
+            last = int(c1[d]) - 1
+            nrd = int(col_ptr[last + 1] - col_ptr[last] - 1)
+            maxI = max(maxI, nrd - g0)
+            maxJ = max(maxJ, g1 - g0)
+            maxWl = max(maxWl, int(w_of[d]))
+        ga = np.full((U, maxI, maxWl), scratch, dtype=np.int64)
+        gb = np.full((U, maxJ, maxWl), scratch, dtype=np.int64)
+        sc = np.full((U, maxI, maxJ), scratch, dtype=np.int64)
+        for u, (d, g0, g1, s) in enumerate(ups):
+            lo, hi = int(c0[d]), int(c1[d])
+            wd = hi - lo
+            last = hi - 1
+            rd = csc_rows[col_ptr[last] + 1: col_ptr[last + 1]]
+            ni, nj = rd.size - g0, g1 - g0
+            cols_d = np.arange(lo, hi)
+            base = col_ptr[cols_d] + (hi - cols_d) + g0      # (wd,)
+            ga[u, :ni, :wd] = base[None, :] + np.arange(ni)[:, None]
+            gb[u, :nj, :wd] = base[None, :] + np.arange(nj)[:, None]
+            # scatter: pos(i, j) for i >= j; i in rd[g0:], j in rd[g0:g1]
+            # (j are columns of target panel s). Column j's rows are
+            # [j..hi_s) ++ below_s → in-panel targets are affine, below-
+            # panel targets need one searchsorted into below_s.
+            hi_s = int(c1[s])
+            last_s = hi_s - 1
+            below_s = csc_rows[col_ptr[last_s] + 1: col_ptr[last_s + 1]]
+            i_rows = rd[g0:]
+            j_rows = rd[g0:g1]
+            idx_below = np.searchsorted(below_s, i_rows)     # (ni,)
+            in_panel = i_rows[:, None] < hi_s
+            pos = np.where(
+                in_panel,
+                col_ptr[j_rows][None, :] + (i_rows[:, None] - j_rows[None, :]),
+                col_ptr[j_rows][None, :] + (hi_s - j_rows)[None, :]
+                + idx_below[:, None])
+            sc[u, :ni, :nj] = np.where(
+                i_rows[:, None] >= j_rows[None, :], pos, scratch)
+        upd_ga.append(jnp.asarray(ga.astype(np.int32)))
+        upd_gb.append(jnp.asarray(gb.astype(np.int32)))
+        upd_sc.append(jnp.asarray(sc.astype(np.int32)))
 
-    # ---------------- panel tables ----------------
-    sn_of_level = [np.nonzero(slevel == lv)[0] for lv in range(nlev)]
-    maxS = max((len(s) for s in sn_of_level), default=1) or 1
-    maxR = max((int(b.size) for b in below), default=1) or 1
-    top_pos = np.full((nlev, maxS, maxW, maxW), scratch, dtype=np.int32)
-    below_pos = np.full((nlev, maxS, maxR, maxW), scratch, dtype=np.int32)
-    top_valid = np.zeros((nlev, maxS, maxW), dtype=bool)
+    # ---------------- panel tables (affine positions) ----------------
+    top_pos, below_pos, top_valid = [], [], []
     for lv in range(nlev):
-        for k, s in enumerate(sn_of_level[lv]):
-            w = int(w_of[s])
-            cols_s = np.arange(c0[s], c1[s])
-            top_valid[lv, k, :w] = True
-            # top triangle: (c0+i, c0+j) for i ≥ j
-            for jloc in range(w):
-                i_rows = cols_s[jloc:]
-                top_pos[lv, k, jloc:w, jloc] = pos_vec(
-                    i_rows, np.full(i_rows.size, cols_s[jloc]))
-            rb = below[s]
-            if rb.size:
-                gb = pos_vec(np.repeat(rb, w), np.tile(cols_s, rb.size)
-                             ).reshape(rb.size, w)
-                below_pos[lv, k, : rb.size, :w] = gb
+        sns = np.nonzero(slevel == lv)[0]
+        S = max(sns.size, 1)
+        Wl = max((int(w_of[s]) for s in sns), default=1)
+        Rl = max((int(col_ptr[c1[s]] - col_ptr[c1[s] - 1] - 1)
+                  for s in sns), default=0) or 1
+        tp = np.full((S, Wl, Wl), scratch, dtype=np.int64)
+        bp = np.full((S, Rl, Wl), scratch, dtype=np.int64)
+        tv = np.zeros((S, Wl), dtype=bool)
+        for k, s in enumerate(sns):
+            lo, hi = int(c0[s]), int(c1[s])
+            w = hi - lo
+            tv[k, :w] = True
+            cols_s = np.arange(lo, hi)
+            il = np.arange(w)
+            # top triangle: pos(lo+il, lo+jl) = col_ptr[lo+jl] + (il - jl)
+            tri = col_ptr[cols_s][None, :] + (il[:, None] - il[None, :])
+            tp[k, :w, :w] = np.where(il[:, None] >= il[None, :], tri,
+                                     scratch)
+            r = int(col_ptr[hi] - col_ptr[hi - 1] - 1)
+            if r:
+                bp[k, :r, :w] = (col_ptr[cols_s][None, :]
+                                 + (hi - cols_s)[None, :]
+                                 + np.arange(r)[:, None])
+        top_pos.append(jnp.asarray(tp.astype(np.int32)))
+        below_pos.append(jnp.asarray(bp.astype(np.int32)))
+        top_valid.append(jnp.asarray(tv))
 
     sched = SupernodalSchedule(
         a_src_pos=jnp.asarray(a_src_pos.astype(np.int32)),
         a_vals_idx=jnp.asarray(a_vals_idx.astype(np.int32)),
-        upd_gather_a=jnp.asarray(upd_ga),
-        upd_gather_b=jnp.asarray(upd_gb),
-        upd_scatter=jnp.asarray(upd_sc),
-        top_pos=jnp.asarray(top_pos),
-        below_pos=jnp.asarray(below_pos),
-        top_valid=jnp.asarray(top_valid),
+        upd_gather_a=tuple(upd_ga),
+        upd_gather_b=tuple(upd_gb),
+        upd_scatter=tuple(upd_sc),
+        top_pos=tuple(top_pos),
+        below_pos=tuple(below_pos),
+        top_valid=tuple(top_valid),
         nnz_l=nnz_l,
         n=n,
     )
@@ -254,13 +266,15 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
 @jax.jit
 def factorize_supernodal(sched: SupernodalSchedule,
                          a_values: jax.Array) -> jax.Array:
-    """Numeric phase; returns L's flat CSC value array (length nnz_l)."""
+    """Numeric phase; returns L's flat CSC value array (length nnz_l).
+    Statically unrolled over levels (per-level table shapes differ); the
+    whole factorization still compiles to one device program."""
     lvals = jnp.zeros(sched.nnz_l + 1, dtype=jnp.float32)
     lvals = lvals.at[sched.a_src_pos].add(
         a_values[sched.a_vals_idx].astype(jnp.float32))
-    nlev = sched.upd_gather_a.shape[0]
+    nlev = len(sched.upd_gather_a)
 
-    def level_step(lv, lvals):
+    for lv in range(nlev):
         # 1) batched panel-outer-product updates on the MXU
         A = lvals[sched.upd_gather_a[lv]]          # (U, I, W)
         B = lvals[sched.upd_gather_b[lv]]          # (U, J, W)
@@ -286,9 +300,8 @@ def factorize_supernodal(sched: SupernodalSchedule,
         lvals = lvals.at[sched.top_pos[lv]].set(
             jnp.where(jnp.isfinite(Lt), jnp.tril(Lt), 0.0), mode="drop")
         lvals = lvals.at[sched.below_pos[lv]].set(Bn, mode="drop")
-        return lvals.at[-1].set(0.0)
+        lvals = lvals.at[-1].set(0.0)
 
-    lvals = jax.lax.fori_loop(0, nlev, level_step, lvals)
     return lvals[:-1]
 
 

@@ -65,18 +65,148 @@ def _merge(a: CSR, b: CSR, b_sign: int) -> CSR:
 _merge_jit = jax.jit(_merge, static_argnums=2)
 
 
+def _merge_keyspace(a: CSR, b: CSR, b_sign: int) -> CSR:
+    """Dense key-space merge — the fast path when ``rows*cols`` fits a
+    device accumulator. Scatter-adds both operands into a flat
+    (rows·cols) accumulator, marks the union mask, and extracts the union
+    coordinates ALREADY SORTED with one static-size ``nonzero`` (a cumsum)
+    — replacing the two 2n-element sort passes of the lexsort merge.
+    Measured 21x faster at the reference ``ss_add`` workload (2×900k
+    entries in 1000×1000: 3.3 ms vs 70 ms; BENCH_RESULTS.md). Output
+    capacity is static ``nnz_a + nnz_b``; slots past the true union size
+    are explicit zeros at coordinate (rows-1, cols-1), matching the
+    lexsort merge's explicit-zero-padding semantics."""
+    n = a.stored + b.stored
+    ncell = a.rows * a.cols
+    key_a = a.row_ids() * a.cols + a.indices
+    key_b = b.row_ids() * b.cols + b.indices
+    acc = jnp.zeros(ncell, dtype=jnp.result_type(a.values, b.values))
+    acc = acc.at[key_a].add(a.values)
+    acc = acc.at[key_b].add(b.values if b_sign > 0 else -b.values)
+    mask = jnp.zeros(ncell, dtype=bool).at[key_a].set(True)
+    mask = mask.at[key_b].set(True)
+    keys = jnp.nonzero(mask, size=n, fill_value=ncell - 1)[0]
+    fill = jnp.arange(n) >= jnp.sum(mask)
+    vals = jnp.where(fill, 0, acc[keys]).astype(acc.dtype)
+    rows = (keys // a.cols).astype(jnp.int32)
+    cols = (keys % a.cols).astype(jnp.int32)
+    counts = jnp.zeros(a.rows, dtype=jnp.int32).at[rows].add(1)
+    indptr = jnp.concatenate(
+        [jnp.zeros(1, dtype=jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    return CSR(indptr=indptr, indices=cols, values=vals,
+               rows=a.rows, cols=a.cols)
+
+
+_merge_keyspace_jit = jax.jit(_merge_keyspace, static_argnums=2)
+
+
+class _MergePlan:
+    """Value-independent merge plan for a fixed (pattern_a, pattern_b) pair:
+    the union coordinates (sorted, static capacity ``nnz_a + nnz_b`` with
+    trailing explicit-zero padding at (rows-1, cols-1)) plus each operand
+    entry's output slot. The numeric phase is then ONE fused scatter-add —
+    the same symbolic/numeric split the factorizations use, applied to
+    add/sub. Memoised on the left operand, keyed by the right operand's
+    identity (weakref-validated)."""
+
+    __slots__ = ("indptr", "indices", "slot_a", "slot_b", "n")
+
+    def __init__(self, a: CSR, b: CSR):
+        import numpy as np
+
+        n = a.stored + b.stored
+        ia, xa, _ = a.numpy()
+        ib, xb, _ = b.numpy()
+        ra = np.repeat(np.arange(a.rows, dtype=np.int64), np.diff(ia))
+        rb = np.repeat(np.arange(b.rows, dtype=np.int64), np.diff(ib))
+        ka = ra * a.cols + xa
+        kb = rb * b.cols + xb
+        union = np.union1d(ka, kb)
+        m = union.shape[0]
+        keys = np.full(n, (a.rows - 1) * a.cols + (a.cols - 1),
+                       dtype=np.int64)
+        keys[:m] = union
+        rows_o = keys // a.cols
+        cols_o = keys % a.cols
+        counts = np.zeros(a.rows, dtype=np.int64)
+        np.add.at(counts, rows_o, 1)
+        indptr = np.concatenate([[0], np.cumsum(counts)])
+        self.indptr = jnp.asarray(indptr.astype(np.int32))
+        self.indices = jnp.asarray(cols_o.astype(np.int32))
+        self.slot_a = jnp.asarray(np.searchsorted(union, ka).astype(np.int32))
+        self.slot_b = jnp.asarray(np.searchsorted(union, kb).astype(np.int32))
+        self.n = n
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _merge_planned_vals(vals_a, vals_b, plan_slots, n: int, b_sign: int):
+    slot_a, slot_b = plan_slots
+    out = jnp.zeros(n, dtype=jnp.result_type(vals_a, vals_b))
+    out = out.at[slot_a].add(vals_a)
+    return out.at[slot_b].add(vals_b if b_sign > 0 else -vals_b)
+
+
+def _merge_planned(a: CSR, b: CSR, b_sign: int) -> CSR:
+    import weakref
+
+    plans = getattr(a, "_merge_plans", None)
+    if plans is None:
+        plans = []
+        object.__setattr__(a, "_merge_plans", plans)
+    plan = None
+    for ref, p in plans:
+        if ref() is b:
+            plan = p
+            break
+    if plan is None:
+        plan = _MergePlan(a, b)
+        plans.append((weakref.ref(b), plan))
+        del plans[:-4]  # bound the cache
+    vals = _merge_planned_vals(a.values, b.values,
+                               (plan.slot_a, plan.slot_b), plan.n, b_sign)
+    return CSR(indptr=plan.indptr, indices=plan.indices, values=vals,
+               rows=a.rows, cols=a.cols)
+
+# Flat accumulator budget for the key-space merge (rows·cols·itemsize·~2).
+KEYSPACE_BUDGET_BYTES = 1 << 28
+
+
+def _use_keyspace(a: CSR, b: CSR) -> bool:
+    if a.stored + b.stored == 0:
+        return False
+    ncell = a.rows * a.cols
+    return ncell < 2**31 and 8 * ncell <= KEYSPACE_BUDGET_BYTES
+
+
+def _dispatch_merge(a: CSR, b: CSR, b_sign: int) -> CSR:
+    concrete = not (isinstance(a.values, jax.core.Tracer)
+                    or isinstance(b.values, jax.core.Tracer))
+    if concrete and a.stored + b.stored:
+        # symbolic/numeric split: one host plan per pattern pair, then one
+        # fused scatter-add per call (measured 11x the lexsort merge at the
+        # reference ss_add workload)
+        return _merge_planned(a, b, b_sign)
+    if _use_keyspace(a, b):
+        return _merge_keyspace_jit(a, b, b_sign)
+    return _merge_jit(a, b, b_sign)
+
+
 def add(a: CSR, b: CSR) -> CSR:
-    """Sparse + sparse — reference ``add_sparse`` (sparse.rs:484-540)."""
+    """Sparse + sparse — reference ``add_sparse`` (sparse.rs:484-540).
+    Concrete operands use the planned merge (host symbolic plan, memoised
+    per pattern pair + one device scatter-add); traced operands fall back
+    to the key-space merge (cell space permitting) or the lexsort merge."""
     check(a.shape == b.shape, IncorrectDimensions,
           f"add_sparse dims {a.dims} vs {b.dims}")
-    return _merge_jit(a, b, 1)
+    return _dispatch_merge(a, b, 1)
 
 
 def sub(a: CSR, b: CSR) -> CSR:
     """Sparse − sparse — reference ``sub_sparse`` (sparse.rs:542-599)."""
     check(a.shape == b.shape, IncorrectDimensions,
           f"sub_sparse dims {a.dims} vs {b.dims}")
-    return _merge_jit(a, b, -1)
+    return _dispatch_merge(a, b, -1)
 
 
 # Parity aliases.

@@ -16,12 +16,10 @@ from ..utils.errors import NonSquareMatrix, check
 from .csr import CSR
 
 
-def rcm_permutation(a: CSR) -> np.ndarray:
-    """RCM permutation from A's symmetrised pattern."""
-    check(a.rows == a.cols, NonSquareMatrix, "rcm needs square")
+def _sym_pattern(a: CSR):
+    """Symmetrised adjacency (CSR indptr/indices) of A's pattern."""
     indptr, indices, _ = a.numpy()
     rows = np.repeat(np.arange(a.rows), np.diff(indptr))
-    # symmetrise the pattern
     pr = np.concatenate([rows, indices])
     pc = np.concatenate([indices, rows])
     keys = np.unique(pr * a.rows + pc)
@@ -29,7 +27,63 @@ def rcm_permutation(a: CSR) -> np.ndarray:
     sp = np.zeros(a.rows + 1, dtype=np.int64)
     np.add.at(sp[1:], sr, 1)
     sp = np.cumsum(sp)
+    return sp, sc
+
+
+def rcm_permutation(a: CSR) -> np.ndarray:
+    """RCM permutation from A's symmetrised pattern."""
+    check(a.rows == a.cols, NonSquareMatrix, "rcm needs square")
+    sp, sc = _sym_pattern(a)
     return symbolic.rcm_ordering(a.rows, sp, sc)
+
+
+def nd_permutation(a: CSR, *, leaf: int = 64) -> np.ndarray:
+    """Nested-dissection permutation (recursive BFS bisection, separators
+    eliminated last). The right ordering for grid-like patterns at scale,
+    where RCM's profile ordering stops reducing fill."""
+    check(a.rows == a.cols, NonSquareMatrix, "nd needs square")
+    sp, sc = _sym_pattern(a)
+    return symbolic.nd_ordering(a.rows, sp, sc, leaf=leaf)
+
+
+def chol_fill(a: CSR, perm: np.ndarray = None) -> int:
+    """Predicted Cholesky factor nnz of A under ``perm`` (symbolic-only,
+    native) — the objective orderings compete on."""
+    sp, sc = _sym_pattern(a)
+    n = a.rows
+    if perm is not None:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(n)
+        rows = np.repeat(inv, np.diff(sp))
+        cols = inv[sc]
+    else:
+        rows = np.repeat(np.arange(n), np.diff(sp))
+        cols = sc
+    low = cols < rows
+    lp = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(lp[1:], rows[low], 1)
+    lp = np.cumsum(lp)
+    order = np.argsort(rows[low] * n + cols[low], kind="stable")
+    _, l_indptr, _ = symbolic.chol_symbolic(n, lp, cols[low][order])
+    return int(l_indptr[-1])
+
+
+def best_permutation(a: CSR):
+    """Fill-minimising ordering: evaluates RCM and nested dissection by
+    predicted factor nnz (cheap native symbolic passes) and returns
+    ``(perm, name)`` for the winner (or ``(None, 'natural')`` when neither
+    beats the given order). This is dispatch-by-measurement, same policy as
+    spmm_auto."""
+    fills = {"natural": chol_fill(a)}
+    perms = {}
+    for name, fn in (("rcm", rcm_permutation), ("nd", nd_permutation)):
+        try:
+            perms[name] = fn(a)
+            fills[name] = chol_fill(a, perms[name])
+        except Exception:
+            pass
+    winner = min(fills, key=fills.get)
+    return perms.get(winner), winner
 
 
 def permute_symmetric(a: CSR, perm: np.ndarray) -> CSR:

@@ -28,26 +28,34 @@ from .mesh import ROWS
 
 
 def _split(a: np.ndarray, num: int, pad_value) -> np.ndarray:
-    nlev, m = a.shape[0], a.shape[1]
+    """Pad axis 0 (this level's update/panel batch) to a multiple of ``num``
+    devices and expose the device axis."""
+    m = a.shape[0]
     pad = (-m) % num
     if pad:
-        widths = [(0, 0), (0, pad)] + [(0, 0)] * (a.ndim - 2)
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
         a = np.pad(a, widths, constant_values=pad_value)
-    m = a.shape[1]
-    return a.reshape((nlev, num, m // num) + a.shape[2:])
+    m = a.shape[0]
+    return a.reshape((num, m // num) + a.shape[1:])
 
 
 def factorize_supernodal_sharded(sched: SupernodalSchedule, a_values,
                                  mesh) -> jax.Array:
     num = mesh.shape[ROWS]
     scratch = sched.nnz_l
-    uga = jnp.asarray(_split(np.asarray(sched.upd_gather_a), num, scratch))
-    ugb = jnp.asarray(_split(np.asarray(sched.upd_gather_b), num, scratch))
-    usc = jnp.asarray(_split(np.asarray(sched.upd_scatter), num, scratch))
-    tpos = jnp.asarray(_split(np.asarray(sched.top_pos), num, scratch))
-    bpos = jnp.asarray(_split(np.asarray(sched.below_pos), num, scratch))
-    tval = jnp.asarray(_split(np.asarray(sched.top_valid), num, False))
-    nlev = uga.shape[0]
+    uga = tuple(jnp.asarray(_split(np.asarray(t), num, scratch))
+                for t in sched.upd_gather_a)
+    ugb = tuple(jnp.asarray(_split(np.asarray(t), num, scratch))
+                for t in sched.upd_gather_b)
+    usc = tuple(jnp.asarray(_split(np.asarray(t), num, scratch))
+                for t in sched.upd_scatter)
+    tpos = tuple(jnp.asarray(_split(np.asarray(t), num, scratch))
+                 for t in sched.top_pos)
+    bpos = tuple(jnp.asarray(_split(np.asarray(t), num, scratch))
+                 for t in sched.below_pos)
+    tval = tuple(jnp.asarray(_split(np.asarray(t), num, False))
+                 for t in sched.top_valid)
+    nlev = len(uga)
     a_vals = jnp.asarray(a_values)
 
     def body(uga, ugb, usc, tpos, bpos, tval, a_vals):
@@ -55,41 +63,41 @@ def factorize_supernodal_sharded(sched: SupernodalSchedule, a_values,
         lvals = lvals.at[sched.a_src_pos].add(
             a_vals[sched.a_vals_idx].astype(jnp.float32))
 
-        def level_step(lv, lvals):
+        for lv in range(nlev):
             # local slice of this level's panel-update batch → psum merge
-            A = lvals[uga[lv, 0]]
-            B = lvals[ugb[lv, 0]]
+            A = lvals[uga[lv][0]]
+            B = lvals[ugb[lv][0]]
             U = jnp.einsum("uiw,ujw->uij", A, B,
                            precision=jax.lax.Precision.HIGHEST)
-            delta = jnp.zeros_like(lvals).at[usc[lv, 0]].add(-U)
+            delta = jnp.zeros_like(lvals).at[usc[lv][0]].add(-U)
             delta = delta.at[-1].set(0.0)
             lvals = lvals + jax.lax.psum(delta, ROWS)
 
             # local slice of this level's panels → psum publish
-            T = lvals[tpos[lv, 0]]
-            valid = tval[lv, 0]
+            T = lvals[tpos[lv][0]]
+            valid = tval[lv][0]
             eye = jnp.eye(T.shape[-1], dtype=T.dtype)
             Tsym = T + jnp.where(valid[:, :, None] & valid[:, None, :],
                                  0.0, eye)
             Lt = jnp.linalg.cholesky(
                 Tsym + jnp.triu(jnp.swapaxes(Tsym, 1, 2), 1))
-            Bp = lvals[bpos[lv, 0]]
+            Bp = lvals[bpos[lv][0]]
             Bn = jax.scipy.linalg.solve_triangular(
                 Lt, jnp.swapaxes(Bp, 1, 2), lower=True)
             Bn = jnp.swapaxes(Bn, 1, 2)
             newT = jnp.where(jnp.isfinite(Lt), jnp.tril(Lt), 0.0)
-            fix = jnp.zeros_like(lvals).at[tpos[lv, 0]].add(newT - T)
-            fix = fix.at[bpos[lv, 0]].add(Bn - Bp)
+            fix = jnp.zeros_like(lvals).at[tpos[lv][0]].add(newT - T)
+            fix = fix.at[bpos[lv][0]].add(Bn - Bp)
             fix = fix.at[-1].set(0.0)
-            return lvals + jax.lax.psum(fix, ROWS)
+            lvals = lvals + jax.lax.psum(fix, ROWS)
 
-        lvals = jax.lax.fori_loop(0, nlev, level_step, lvals)
         return lvals[:-1]
 
+    spec = lambda tables: tuple(P(ROWS) for _ in tables)  # noqa: E731
     f = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(None, ROWS), P(None, ROWS), P(None, ROWS),
-                  P(None, ROWS), P(None, ROWS), P(None, ROWS), P()),
+        in_specs=(spec(uga), spec(ugb), spec(usc),
+                  spec(tpos), spec(bpos), spec(tval), P()),
         out_specs=P(),
     )
     return jax.jit(f)(uga, ugb, usc, tpos, bpos, tval, a_vals)

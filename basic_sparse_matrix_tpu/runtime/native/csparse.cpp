@@ -233,4 +233,248 @@ int64_t chol_update_triples(int64_t n, const int64_t* col_ptr,
   return total;
 }
 
+// ---------------------------------------------------------------------------
+// Reverse Cuthill-McKee ordering of a symmetric pattern (full adjacency CSR).
+// Matches the Python fallback in runtime/symbolic.py exactly: BFS from
+// minimum-degree start candidates (stable order), neighbours visited in
+// stable degree order, whole sequence reversed at the end. O(nnz log d).
+// ---------------------------------------------------------------------------
+int64_t rcm_ordering(int64_t n, const int64_t* indptr, const int64_t* indices,
+                     int64_t* out_perm) {
+  std::vector<int64_t> degree(n), starts(n), order(n), queue, nbrs;
+  for (int64_t i = 0; i < n; ++i) {
+    degree[i] = indptr[i + 1] - indptr[i];
+    starts[i] = i;
+  }
+  std::stable_sort(starts.begin(), starts.end(),
+                   [&](int64_t a, int64_t b) { return degree[a] < degree[b]; });
+  std::vector<char> visited(n, 0);
+  int64_t pos = 0;
+  queue.reserve(n);
+  for (int64_t si = 0; si < n; ++si) {
+    int64_t start = starts[si];
+    if (visited[start]) continue;
+    queue.clear();
+    queue.push_back(start);
+    visited[start] = 1;
+    for (size_t head = 0; head < queue.size(); ++head) {
+      int64_t node = queue[head];
+      order[pos++] = node;
+      nbrs.clear();
+      for (int64_t p = indptr[node]; p < indptr[node + 1]; ++p) {
+        int64_t x = indices[p];
+        if (!visited[x] && x != node) nbrs.push_back(x);
+      }
+      std::stable_sort(nbrs.begin(), nbrs.end(), [&](int64_t a, int64_t b) {
+        return degree[a] < degree[b];
+      });
+      for (int64_t x : nbrs) {
+        visited[x] = 1;
+        queue.push_back(x);
+      }
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) out_perm[i] = order[n - 1 - i];
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Relaxed fundamental-supernode partition of a Cholesky factor pattern
+// (CSC, diagonal first per column, below-diagonal rows sorted ascending).
+// Matches runtime/symbolic.supernodes: columns j-1 and j merge when j is
+// j-1's etree parent and the symmetric difference of their below-diagonal
+// structures (j excluded from j-1's) fits the remaining per-supernode
+// `relax` budget. Returns the number of supernodes.
+// ---------------------------------------------------------------------------
+int64_t supernodes_relaxed(int64_t n, const int64_t* col_ptr,
+                           const int64_t* row_idx, const int64_t* parent,
+                           int64_t relax, int64_t* out_sid) {
+  if (n == 0) return 0;
+  int64_t sid = 0, budget = relax;
+  out_sid[0] = 0;
+  for (int64_t j = 1; j < n; ++j) {
+    bool mergeable = parent[j - 1] == j;
+    if (mergeable) {
+      // two-pointer symmetric-difference count over the sorted row lists,
+      // skipping j in the previous column's list
+      const int64_t* pa = row_idx + col_ptr[j - 1] + 1;  // skip diagonal
+      const int64_t* ea = row_idx + col_ptr[j];
+      const int64_t* pb = row_idx + col_ptr[j] + 1;
+      const int64_t* eb = row_idx + col_ptr[j + 1];
+      int64_t diff = 0;
+      while (pa < ea || pb < eb) {
+        if (pa < ea && *pa == j) { ++pa; continue; }
+        if (pa == ea) { ++diff; ++pb; }
+        else if (pb == eb) { ++diff; ++pa; }
+        else if (*pa == *pb) { ++pa; ++pb; }
+        else if (*pa < *pb) { ++diff; ++pa; }
+        else { ++diff; ++pb; }
+      }
+      if (diff > budget) mergeable = false;
+      else budget -= diff;
+    }
+    if (!mergeable) {
+      ++sid;
+      budget = relax;
+    }
+    out_sid[j] = sid;
+  }
+  return sid + 1;
+}
+
+// ---------------------------------------------------------------------------
+// Relaxed-amalgamation pattern expansion: every column of a supernode takes
+// the union below-row structure of its panel (plus its in-panel tail), so
+// the fundamental property holds by construction. Two-phase:
+//   count_only=1: fill out_col_counts[j] with the expanded column lengths.
+//   count_only=0: out_col_counts holds the exclusive prefix (new col_ptr);
+//                 rows written sorted ascending per column into out_rows.
+// Returns total expanded nnz.
+// ---------------------------------------------------------------------------
+int64_t expand_pattern(int64_t nsn, const int64_t* col_ptr,
+                       const int64_t* row_idx, const int64_t* c0,
+                       const int64_t* c1, int64_t count_only,
+                       int64_t* out_col_counts, int64_t* out_rows) {
+  int64_t total = 0;
+  std::vector<int64_t> u;
+  for (int64_t s = 0; s < nsn; ++s) {
+    int64_t lo = c0[s], hi = c1[s];
+    u.assign(row_idx + col_ptr[lo], row_idx + col_ptr[hi]);
+    std::sort(u.begin(), u.end());
+    u.erase(std::unique(u.begin(), u.end()), u.end());
+    // below_u = union rows >= hi
+    const int64_t* bu =
+        std::lower_bound(u.data(), u.data() + u.size(), hi);
+    int64_t m = (u.data() + u.size()) - bu;
+    for (int64_t j = lo; j < hi; ++j) {
+      int64_t len = (hi - j) + m;
+      total += len;
+      if (count_only) {
+        out_col_counts[j] = len;
+      } else {
+        int64_t w = out_col_counts[j];
+        for (int64_t t = j; t < hi; ++t) out_rows[w++] = t;
+        for (int64_t t = 0; t < m; ++t) out_rows[w++] = bu[t];
+      }
+    }
+  }
+  return total;
+}
+
+// ---------------------------------------------------------------------------
+// Nested-dissection ordering by recursive BFS (level-structure) bisection.
+// For each sub-component: find a pseudo-peripheral root (two BFS passes),
+// split its BFS level structure at the median vertex, take that level as
+// the separator, recurse on the two halves, and eliminate the separator
+// LAST. Grid-like patterns get balanced separators and O(n log n)-ish fill,
+// where profile orderings (RCM) stop helping. Deterministic; mirrored by
+// the Python fallback in runtime/symbolic.py. `leaf` bounds recursion.
+// ---------------------------------------------------------------------------
+static void nd_bfs(const int64_t* indptr, const int64_t* indices,
+                   const std::vector<int64_t>& verts,
+                   const std::vector<int64_t>& stamp_in, int64_t stamp,
+                   int64_t root, std::vector<int64_t>& level,
+                   std::vector<int64_t>& bfs_order) {
+  // level[] is indexed by global vertex id; -1 marks unreached this pass.
+  bfs_order.clear();
+  for (int64_t v : verts) level[v] = -1;
+  level[root] = 0;
+  bfs_order.push_back(root);
+  for (size_t head = 0; head < bfs_order.size(); ++head) {
+    int64_t u = bfs_order[head];
+    for (int64_t p = indptr[u]; p < indptr[u + 1]; ++p) {
+      int64_t x = indices[p];
+      if (x == u || stamp_in[x] != stamp || level[x] != -1) continue;
+      level[x] = level[u] + 1;
+      bfs_order.push_back(x);
+    }
+  }
+}
+
+int64_t nd_ordering(int64_t n, const int64_t* indptr, const int64_t* indices,
+                    int64_t leaf, int64_t* out_perm) {
+  std::vector<int64_t> stamp(n, -1), level(n, -1);
+  std::vector<int64_t> bfs_order;
+  int64_t pos = 0;
+  // Work stack of (vertex list, phase). phase 0 = split, phase 1 = emit
+  // the separator stored alongside.
+  struct Task {
+    std::vector<int64_t> verts;
+    bool emit;  // emit verts directly (separator / leaf)
+  };
+  std::vector<Task> stack;
+  // Seed: connected components in ascending-vertex order.
+  {
+    std::vector<int64_t> comp_stamp(n, -1);
+    std::vector<Task> comps;
+    for (int64_t v0 = 0; v0 < n; ++v0) {
+      if (comp_stamp[v0] != -1) continue;
+      Task t;
+      t.emit = false;
+      t.verts.push_back(v0);
+      comp_stamp[v0] = 0;
+      for (size_t head = 0; head < t.verts.size(); ++head) {
+        int64_t u = t.verts[head];
+        for (int64_t p = indptr[u]; p < indptr[u + 1]; ++p) {
+          int64_t x = indices[p];
+          if (x != u && comp_stamp[x] == -1) {
+            comp_stamp[x] = 0;
+            t.verts.push_back(x);
+          }
+        }
+      }
+      std::sort(t.verts.begin(), t.verts.end());
+      comps.push_back(std::move(t));
+    }
+    // Components processed in order ⇒ push reversed on the stack.
+    for (auto it = comps.rbegin(); it != comps.rend(); ++it)
+      stack.push_back(std::move(*it));
+  }
+  int64_t stamp_id = 0;
+  while (!stack.empty()) {
+    Task t = std::move(stack.back());
+    stack.pop_back();
+    if (t.emit || (int64_t)t.verts.size() <= leaf) {
+      for (int64_t v : t.verts) out_perm[pos++] = v;
+      continue;
+    }
+    ++stamp_id;
+    for (int64_t v : t.verts) stamp[v] = stamp_id;
+    // pseudo-peripheral root: BFS from the smallest vertex, re-root at the
+    // last vertex reached, BFS again.
+    nd_bfs(indptr, indices, t.verts, stamp, stamp_id, t.verts[0], level,
+           bfs_order);
+    int64_t root = bfs_order.back();
+    nd_bfs(indptr, indices, t.verts, stamp, stamp_id, root, level, bfs_order);
+    if (bfs_order.size() != t.verts.size() || level[bfs_order.back()] == 0) {
+      // disconnected remainder (shouldn't happen) or single level: no split
+      std::sort(t.verts.begin(), t.verts.end());
+      for (int64_t v : t.verts) out_perm[pos++] = v;
+      continue;
+    }
+    // median split level: the level containing the |V|/2-th BFS vertex
+    int64_t mid_level = level[bfs_order[bfs_order.size() / 2]];
+    int64_t max_level = level[bfs_order.back()];
+    if (mid_level == 0) mid_level = 1;
+    if (mid_level == max_level) mid_level = max_level - 1;
+    Task a, b, s;
+    a.emit = false;
+    b.emit = false;
+    s.emit = true;
+    for (int64_t v : t.verts) {
+      if (level[v] < mid_level) a.verts.push_back(v);
+      else if (level[v] > mid_level) b.verts.push_back(v);
+      else s.verts.push_back(v);
+    }
+    std::sort(a.verts.begin(), a.verts.end());
+    std::sort(b.verts.begin(), b.verts.end());
+    std::sort(s.verts.begin(), s.verts.end());
+    // order: A, B, then separator — push in reverse
+    stack.push_back(std::move(s));
+    stack.push_back(std::move(b));
+    stack.push_back(std::move(a));
+  }
+  return pos;
+}
+
 }  // extern "C"

@@ -29,6 +29,7 @@ class Config:
     dense_cholesky_max_n: int = 2048
     dense_cholesky_min_density: float = 0.05
     supernodal_relax: int = 8       # per-panel padding budget (amalgamation)
+    ordering: str = "auto"          # fill ordering: auto|rcm|nd|natural
     # Numerics.
     matmul_precision: str = "highest"  # this env quantizes default matmuls
     solve_dtype: str = "float32"
