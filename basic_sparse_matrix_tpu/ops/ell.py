@@ -62,6 +62,12 @@ def csr_to_ell(a: CSR) -> ELL:
 # large problems must be processed in row chunks to bound HBM usage.
 INTERMEDIATE_BUDGET_BYTES = 1 << 30
 
+# The unrolled-width formulation keeps each gather term a separate
+# (rows, n_rhs) temp; XLA schedules up to ~width of them live, so gate on
+# the estimated live-temp footprint (measured: 32 × (1M, 512) f32 OOMs).
+UNROLL_TEMP_BUDGET_BYTES = 8 << 30
+UNROLL_MAX_WIDTH = 64
+
 
 @jax.jit
 def _spmm_ell_direct(ell: ELL, b: jax.Array) -> jax.Array:
@@ -70,6 +76,22 @@ def _spmm_ell_direct(ell: ELL, b: jax.Array) -> jax.Array:
         "rp,rpn->rn", ell.vals.astype(b.dtype), gathered,
         precision=jax.lax.Precision.HIGHEST,
     )
+
+
+@jax.jit
+def _spmm_ell_unrolled(ell: ELL, b: jax.Array) -> jax.Array:
+    """Sum over the width dimension as ``width`` separate gather+FMA terms.
+
+    ``einsum('rp,rpn->rn', vals, b[cols])`` is a dot_general, and XLA cannot
+    fuse a gather into an MXU contraction — the (rows, width, n_rhs)
+    intermediate materialises in HBM, tripling gather traffic. Expressed as
+    elementwise multiply-adds the gathers fuse into the accumulation chain:
+    measured 1.8-2.0x the einsum path on v5e (0.31 vs 0.175 of the gather
+    roofline at 100k×32×128; BENCH_RESULTS.md r2)."""
+    out = ell.vals[:, 0, None].astype(b.dtype) * b[ell.cols[:, 0], :]
+    for k in range(1, ell.width):
+        out = out + ell.vals[:, k, None].astype(b.dtype) * b[ell.cols[:, k], :]
+    return out
 
 
 def _chunk_rows(ell: ELL, n_rhs: int) -> int:
@@ -103,9 +125,14 @@ def _spmm_ell_chunked(ell: ELL, b: jax.Array, chunk: int) -> jax.Array:
 
 def spmm_ell(ell: ELL, b: jax.Array) -> jax.Array:
     """SpMM via gather + per-row reduce: ``out[r] = Σ_k vals[r,k]·B[cols[r,k]]``.
-    Padding slots contribute ``0 · B[0]``. Row-chunked when the gathered
-    intermediate would exceed the HBM budget."""
-    chunk = _chunk_rows(ell, int(b.shape[1]))
+    Padding slots contribute ``0 · B[0]``. Fastest path: width-unrolled
+    gather+FMA (fusable, no (rows, width, n_rhs) intermediate) while the
+    live-temp estimate fits; else the chunked einsum formulation."""
+    n_rhs = int(b.shape[1])
+    temp_bytes = ell.width * ell.n_rows * n_rhs * 4
+    if ell.width <= UNROLL_MAX_WIDTH and temp_bytes <= UNROLL_TEMP_BUDGET_BYTES:
+        return _spmm_ell_unrolled(ell, b)
+    chunk = _chunk_rows(ell, n_rhs)
     if chunk >= ell.n_rows:
         return _spmm_ell_direct(ell, b)
     return _spmm_ell_chunked(ell, b, chunk)

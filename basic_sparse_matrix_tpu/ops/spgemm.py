@@ -17,7 +17,12 @@ XLA's static-shape model. We provide:
   matching the reference's ``val != default`` skip (sparse.rs:628-630).
 * :func:`spgemm_bounded` — jittable sparse-output path with a static output
   capacity: expands A's entries against B's rows at a fixed per-row budget.
-  Used when the densified RHS would not fit (large n).
+* :func:`spgemm_planned` — the scalable true-sparse path (host symbolic +
+  device numeric): a vectorised Gustavson symbolic pass sizes the expansion
+  by the ACTUAL per-entry row lengths (not ``nnz(A)·max_row(B)``, which
+  explodes for skewed B), computes C's exact pattern, and memoises the
+  plan; the numeric phase is one gather-multiply-scatter on device. Used
+  when the densified RHS would not fit (large n).
 """
 
 from __future__ import annotations
@@ -45,8 +50,9 @@ def spgemm(a: CSR, b: CSR) -> CSR:
 
     Dispatch: masked-dense (MXU matmul over the densified RHS) while the
     dense intermediates fit the budget — the fastest formulation at
-    reference scale — else the static-capacity expand/merge path
-    (:func:`spgemm_bounded`), compacted on the host.
+    reference scale — else the planned true-sparse Gustavson path
+    (:func:`spgemm_planned`), whose expansion is sized by the actual
+    matched row lengths.
 
     Note: the reference performs *no* inner-dimension check (unlike
     ``mul_dense``); we add one, since silent garbage is not an API worth
@@ -57,15 +63,7 @@ def spgemm(a: CSR, b: CSR) -> CSR:
     dense_bytes = 4 * max(b.rows * b.cols, a.rows * b.cols)
     if dense_bytes <= DENSE_OUTPUT_BUDGET:
         return CSR.from_dense(jax.device_get(spgemm_dense(a, b)))
-    import numpy as np
-
-    b_indptr = np.asarray(b.indptr)
-    max_b_row = int(np.max(np.diff(b_indptr))) if b.stored else 0
-    expansion = a.stored * max_b_row
-    check(expansion <= EXPANSION_BUDGET, IncorrectDimensions,
-          f"spgemm expansion {expansion} exceeds budget; pre-partition the "
-          f"operands or raise EXPANSION_BUDGET")
-    return spgemm_bounded(a, b, max(expansion, 1)).compacted()
+    return spgemm_planned(a, b)
 
 
 # Parity alias.
@@ -141,3 +139,88 @@ def _spgemm_bounded_jit(a: CSR, b: CSR, max_b_row: int) -> CSR:
     )
     return CSR(indptr=indptr, indices=cols, values=vals,
                rows=a.rows, cols=b.cols)
+
+
+class _SpgemmPlan:
+    """Value-independent Gustavson plan for a fixed (pattern_a, pattern_b)
+    pair: the exact output pattern of C = A·B plus flat
+    (dst, src_a, src_b) contribution lists sized by the ACTUAL expansion
+    (Σ over A entries of the matched B row length). The numeric phase is
+    one gather-multiply-scatter-add on device. The symbolic pass is
+    vectorised numpy (no Python per-entry loops)."""
+
+    __slots__ = ("indptr", "indices", "dst", "src_a", "src_b", "nnz_c",
+                 "rows", "cols", "expansion")
+
+    def __init__(self, a: CSR, b: CSR):
+        import numpy as np
+
+        ia, xa, _ = a.numpy()
+        ib, xb, _ = b.numpy()
+        ra = np.repeat(np.arange(a.rows, dtype=np.int64), np.diff(ia))
+        b_len = np.diff(ib)
+        lens = b_len[xa]                          # matched B-row lengths
+        total = int(lens.sum())
+        check(total <= EXPANSION_BUDGET, IncorrectDimensions,
+              f"spgemm expansion {total} exceeds budget "
+              f"{EXPANSION_BUDGET}; pre-partition the operands")
+        offsets = np.zeros(a.stored + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        src_a = np.repeat(np.arange(a.stored, dtype=np.int64), lens)
+        within = np.arange(total, dtype=np.int64) - offsets[src_a]
+        src_b = ib[xa[src_a]] + within
+        out_row = ra[src_a]
+        out_col = xb[src_b]
+        key = out_row * b.cols + out_col
+        pattern = np.unique(key)
+        dst = np.searchsorted(pattern, key)
+        nnz_c = pattern.shape[0]
+        counts = np.zeros(a.rows, dtype=np.int64)
+        np.add.at(counts, pattern // b.cols, 1)
+        indptr = np.concatenate([[0], np.cumsum(counts)])
+        self.indptr = jnp.asarray(indptr.astype(np.int32))
+        self.indices = jnp.asarray((pattern % b.cols).astype(np.int32))
+        self.dst = jnp.asarray(dst.astype(np.int32))
+        self.src_a = jnp.asarray(src_a.astype(np.int32))
+        self.src_b = jnp.asarray(src_b.astype(np.int32))
+        self.nnz_c = nnz_c
+        self.rows, self.cols = a.rows, b.cols
+        self.expansion = total
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _spgemm_planned_vals(vals_a, vals_b, plan_maps, nnz_c: int):
+    dst, src_a, src_b = plan_maps
+    prod = vals_a[src_a] * vals_b[src_b]
+    return jnp.zeros(nnz_c, dtype=prod.dtype).at[dst].add(prod)
+
+
+def spgemm_planned(a: CSR, b: CSR) -> CSR:
+    """True sparse-output SpGEMM: host symbolic plan (memoised per pattern
+    pair, weakref-validated) + one device gather-multiply-scatter. Exact
+    output pattern — handles skewed B (e.g. one dense row) that the
+    worst-case ``nnz(A)·max_row(B)`` bound of :func:`spgemm_bounded`
+    cannot."""
+    check(a.cols == b.rows, IncorrectDimensions,
+          f"spgemm_planned: {a.dims} × {b.dims}")
+    if a.stored == 0 or b.stored == 0:
+        return CSR.empty((a.rows, b.cols), dtype=a.dtype)
+    import weakref
+
+    plans = getattr(a, "_spgemm_plans", None)
+    if plans is None:
+        plans = []
+        object.__setattr__(a, "_spgemm_plans", plans)
+    plan = None
+    for ref, p in plans:
+        if ref() is b:
+            plan = p
+            break
+    if plan is None:
+        plan = _SpgemmPlan(a, b)
+        plans.append((weakref.ref(b), plan))
+        del plans[:-4]
+    vals = _spgemm_planned_vals(
+        a.values, b.values, (plan.dst, plan.src_a, plan.src_b), plan.nnz_c)
+    return CSR(indptr=plan.indptr, indices=plan.indices, values=vals,
+               rows=plan.rows, cols=plan.cols)

@@ -121,8 +121,9 @@ def build_global_sharded_csr(
 
     def assemble(local_stacked):
         shape = (n_global_dev,) + tuple(local_stacked.shape[1:])
+        # each per-device piece keeps its leading shard axis of size 1
         locals_ = [
-            jax.device_put(local_stacked[i], d)
+            jax.device_put(local_stacked[i:i + 1], d)
             for i, d in enumerate(jax.local_devices())
         ]
         return jax.make_array_from_single_device_arrays(

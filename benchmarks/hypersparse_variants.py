@@ -116,6 +116,32 @@ def main():
             step, operand = step_unroll, (cols, vals)
         elif name == "unroll_bf16":
             step, operand = step_unroll_bf16, (cols, vals)
+        elif name.startswith("scang"):
+            # lax.scan over width-groups of G: bounds live temps to G full-
+            # row gathers, pays acc read/write per step
+            g = int(name[len("scang"):])
+
+            def make_scang(G):
+                ngroups = per // G
+
+                def step(operand, carry):
+                    cc, vv = operand
+                    cg = cc.reshape(rows, ngroups, G).transpose(1, 0, 2)
+                    vg = vv.reshape(rows, ngroups, G).transpose(1, 0, 2)
+
+                    def body(acc, cv):
+                        c1, v1 = cv
+                        for k in range(G):
+                            acc = acc + v1[:, k, None] * carry[c1[:, k], :]
+                        return acc, None
+
+                    acc0 = jnp.zeros((rows, n_rhs), jnp.float32)
+                    acc, _ = jax.lax.scan(body, acc0, (cg, vg))
+                    return acc
+
+                return step
+
+            step, operand = make_scang(g), (cols, vals)
         elif name.startswith("punroll"):
             # python-unrolled row chunks in ONE jit graph (no lax.map):
             # all gathers stay visible to the XLA scheduler, temps bounded

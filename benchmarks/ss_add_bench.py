@@ -107,7 +107,7 @@ def main():
 
     def planned_fn(aa, bb, sign):
         vals = ew._merge_planned_vals(
-            aa.values, bb.values, (plan.slot_a, plan.slot_b), plan.n, sign)
+            aa.values, bb.values, (plan.gather_a, plan.gather_b), plan.n, sign)
         return CSR(indptr=plan.indptr, indices=plan.indices, values=vals,
                    rows=aa.rows, cols=aa.cols)
 

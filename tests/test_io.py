@@ -66,3 +66,45 @@ def test_bcsstk_like_pipeline():
     oracle = np.linalg.solve(dense.astype(np.float64), b)
     assert np.allclose(x_dense, oracle, rtol=1e-2, atol=1e-2)
     assert np.allclose(x_sparse, oracle, rtol=1e-2, atol=1e-2)
+
+
+def test_committed_beam_mtx_end_to_end():
+    """Load the committed MatrixMarket fixture (clamped-beam biharmonic
+    stiffness, SuiteSparse nos*-family problem; see the file's comments —
+    generated locally since this environment cannot fetch the genuine
+    collection) and run the full factor+solve pipeline against scipy."""
+    import os
+
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from basic_sparse_matrix_tpu.models.cholesky import cholesky_auto
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "beam_stiffness_100.mtx")
+    a = read_matrix_market(path)
+    assert a.shape == (100, 100)
+    dense = np.asarray(a.todense()).astype(np.float64)
+    assert np.allclose(dense, dense.T)
+    # symmetric-expansion check against scipy's own mmread
+    from scipy.io import mmread
+
+    ref = mmread(path).toarray()
+    assert np.allclose(dense, ref)
+
+    # factor: cholesky_auto vs numpy
+    l = cholesky_auto(a)
+    assert np.allclose(np.asarray(l.todense()), np.linalg.cholesky(dense),
+                       rtol=1e-4, atol=1e-5)
+
+    # solve: both pipelines vs scipy spsolve (cond ~3e6 → float32 gives
+    # ~cond*eps relative error; compare via residual instead of x)
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal(100).astype(np.float32)
+    A = sp.csr_matrix(ref)
+    x_ref = spla.spsolve(A.tocsc(), b.astype(np.float64))
+    for x in (np.asarray(solve(a, b)).ravel(),
+              np.asarray(solve_sparse(a, b)).ravel()):
+        res = np.linalg.norm(dense @ x - b) / np.linalg.norm(b)
+        res_ref = np.linalg.norm(dense @ x_ref - b) / np.linalg.norm(b)
+        assert res < 1e-2, (res, res_ref)

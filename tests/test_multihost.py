@@ -58,3 +58,42 @@ def test_weak_scaling_report():
                               baseline_seconds_1host=1.8)
     assert rec["hosts"] == jax.process_count()
     assert abs(rec["weak_scaling_efficiency"] - 0.9) < 1e-9
+
+
+def test_two_process_spmm():
+    """REAL multi-process run: two local processes, localhost coordinator,
+    4 simulated CPU devices each → 8-device global mesh. Exercises the
+    ``process_count > 1`` assembly path of ``build_global_sharded_csr``
+    (make_array_from_single_device_arrays) end-to-end."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(worker))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert f"proc {pid}/2 OK" in out, out[-3000:]

@@ -225,3 +225,49 @@ def test_add_random_oracle():
     assert np.array_equal(np.asarray(c.todense()), ad + bd)
     c = sub_sparse(CSR.from_dense(ad), CSR.from_dense(bd))
     assert np.array_equal(np.asarray(c.todense()), ad - bd)
+
+
+def test_spgemm_planned_matches_scipy():
+    import scipy.sparse as sp
+
+    from basic_sparse_matrix_tpu.ops.spgemm import spgemm_planned
+
+    A = sp.random(70, 50, 0.12, random_state=3, format="csr",
+                  dtype=np.float32)
+    B = sp.random(50, 80, 0.12, random_state=4, format="csr",
+                  dtype=np.float32)
+    a = CSR.from_coo_arrays(A.shape, A.tocoo().row, A.tocoo().col,
+                            A.tocoo().data)
+    b = CSR.from_coo_arrays(B.shape, B.tocoo().row, B.tocoo().col,
+                            B.tocoo().data)
+    out = spgemm_planned(a, b)
+    out2 = spgemm_planned(a, b)  # memoised plan path
+    ref = (A @ B).toarray()
+    assert np.allclose(np.asarray(out.todense()), ref, rtol=1e-4, atol=1e-5)
+    assert np.allclose(np.asarray(out2.todense()), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_spgemm_planned_skewed_b_dense_row():
+    """The round-1 bounded path needed nnz(A)·max_row(B) capacity — one
+    dense row in B blew the budget. The planned path sizes by actual
+    matched lengths (VERDICT r1 item 7)."""
+    import scipy.sparse as sp
+
+    from basic_sparse_matrix_tpu.ops.spgemm import spgemm_planned
+
+    n = 3000
+    rng = np.random.default_rng(7)
+    nnz = 9000
+    ra, ca = rng.integers(0, n, nnz), rng.integers(0, n, nnz)
+    va = rng.standard_normal(nnz).astype(np.float32)
+    rb = np.concatenate([np.arange(n), np.full(n, 17)])
+    cb = np.concatenate([np.arange(n), np.arange(n)])
+    vb = rng.standard_normal(2 * n).astype(np.float32)
+    a = CSR.from_coo_arrays((n, n), ra, ca, va)
+    b = CSR.from_coo_arrays((n, n), rb, cb, vb)
+    out = spgemm_planned(a, b)
+    A = sp.coo_matrix((va, (ra, ca)), shape=(n, n)).tocsr()
+    B = sp.coo_matrix((vb, (rb, cb)), shape=(n, n)).tocsr()
+    ip, ix, vv = out.numpy()
+    C = sp.csr_matrix((vv, ix, ip), shape=(n, n))
+    assert abs(C - A @ B).max() < 1e-4
