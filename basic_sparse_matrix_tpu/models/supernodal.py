@@ -40,23 +40,28 @@ from ..utils.errors import NonSquareMatrix, check
 
 @dataclasses.dataclass(frozen=True)
 class SupernodalSchedule:
-    """Per-LEVEL tables (tuples of arrays, one per fan-in level): padding is
-    to each level's own maxima, not global ones — under nested-dissection
+    """Level tables padded PER LEVEL (not globally — under nested-dissection
     orderings the top separator panels are 10-100x the leaf panels, and
-    global padding blew the tables up ~150x (measured r2: 66 s host analyze
-    at n=4096; per-level tables: <0.3 s)."""
+    global padding blew the tables up ~150x: 66 s host analyze at n=4096 in
+    round 1 vs <0.3 s now), then consecutive same-shape levels are stacked
+    into GROUPS. The numeric phase unrolls over groups and ``lax.scan``s
+    within each: chain-like etrees (RCM orderings — hundreds of identical
+    levels) compile as a few scanned groups instead of a hundreds-deep
+    unrolled graph, while heterogeneous ND levels keep their own shapes.
+
+    Every table's leading axis is the group's level count g."""
 
     # A scatter (same as scalar path)
     a_src_pos: jax.Array
     a_vals_idx: jax.Array
-    # per-level update tables
-    upd_gather_a: Tuple[jax.Array, ...]   # lv → (U, I, W) int32 → lvals
-    upd_gather_b: Tuple[jax.Array, ...]   # lv → (U, J, W)
-    upd_scatter: Tuple[jax.Array, ...]    # lv → (U, I, J)
-    # per-level panel tables
-    top_pos: Tuple[jax.Array, ...]        # lv → (S, W, W) lower-tri
-    below_pos: Tuple[jax.Array, ...]      # lv → (S, R, W)
-    top_valid: Tuple[jax.Array, ...]      # lv → (S, W) real panel column?
+    # per-group update tables
+    upd_gather_a: Tuple[jax.Array, ...]   # grp → (g, U, I, W) int32 → lvals
+    upd_gather_b: Tuple[jax.Array, ...]   # grp → (g, U, J, W)
+    upd_scatter: Tuple[jax.Array, ...]    # grp → (g, U, I, J)
+    # per-group panel tables
+    top_pos: Tuple[jax.Array, ...]        # grp → (g, S, W, W) lower-tri
+    below_pos: Tuple[jax.Array, ...]      # grp → (g, S, R, W)
+    top_valid: Tuple[jax.Array, ...]      # grp → (g, S, W) real column?
     nnz_l: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
 
@@ -211,9 +216,9 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
                 + idx_below[:, None])
             sc[u, :ni, :nj] = np.where(
                 i_rows[:, None] >= j_rows[None, :], pos, scratch)
-        upd_ga.append(jnp.asarray(ga.astype(np.int32)))
-        upd_gb.append(jnp.asarray(gb.astype(np.int32)))
-        upd_sc.append(jnp.asarray(sc.astype(np.int32)))
+        upd_ga.append(ga.astype(np.int32))
+        upd_gb.append(gb.astype(np.int32))
+        upd_sc.append(sc.astype(np.int32))
 
     # ---------------- panel tables (affine positions) ----------------
     top_pos, below_pos, top_valid = [], [], []
@@ -241,19 +246,34 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
                 bp[k, :r, :w] = (col_ptr[cols_s][None, :]
                                  + (hi - cols_s)[None, :]
                                  + np.arange(r)[:, None])
-        top_pos.append(jnp.asarray(tp.astype(np.int32)))
-        below_pos.append(jnp.asarray(bp.astype(np.int32)))
-        top_valid.append(jnp.asarray(tv))
+        top_pos.append(tp.astype(np.int32))
+        below_pos.append(bp.astype(np.int32))
+        top_valid.append(tv)
+
+    # Group consecutive levels whose SIX table shapes all match and stack
+    # them (leading axis g): the numeric phase scans within a group, so
+    # chain-shaped schedules compile O(#groups), not O(#levels).
+    per_level = [upd_ga, upd_gb, upd_sc, top_pos, below_pos, top_valid]
+    grouped = [[] for _ in per_level]
+    lv = 0
+    while lv < nlev:
+        j = lv + 1
+        while j < nlev and all(t[j].shape == t[lv].shape
+                               for t in per_level):
+            j += 1
+        for gl, t in zip(grouped, per_level):
+            gl.append(jnp.asarray(np.stack(t[lv:j])))
+        lv = j
 
     sched = SupernodalSchedule(
         a_src_pos=jnp.asarray(a_src_pos.astype(np.int32)),
         a_vals_idx=jnp.asarray(a_vals_idx.astype(np.int32)),
-        upd_gather_a=tuple(upd_ga),
-        upd_gather_b=tuple(upd_gb),
-        upd_scatter=tuple(upd_sc),
-        top_pos=tuple(top_pos),
-        below_pos=tuple(below_pos),
-        top_valid=tuple(top_valid),
+        upd_gather_a=tuple(grouped[0]),
+        upd_gather_b=tuple(grouped[1]),
+        upd_scatter=tuple(grouped[2]),
+        top_pos=tuple(grouped[3]),
+        below_pos=tuple(grouped[4]),
+        top_valid=tuple(grouped[5]),
         nnz_l=nnz_l,
         n=n,
     )
@@ -263,44 +283,54 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
     return sched
 
 
+def _level_step(lvals, tabs):
+    """One fan-in level: batched MXU panel updates + panel finalisation."""
+    ga, gb, sc, tp, bp, tv = tabs
+    # 1) batched panel-outer-product updates on the MXU
+    A = lvals[ga]                              # (U, I, W)
+    B = lvals[gb]                              # (U, J, W)
+    U = jnp.einsum("uiw,ujw->uij", A, B,
+                   precision=jax.lax.Precision.HIGHEST)
+    lvals = lvals.at[sc].add(-U)
+    lvals = lvals.at[-1].set(0.0)
+
+    # 2) batched panel finalisation
+    T = lvals[tp]                              # (S, W, W) lower part
+    eye = jnp.eye(T.shape[-1], dtype=T.dtype)
+    # make padded columns well-posed: unit diagonal, zero elsewhere
+    Tsym = T + jnp.where(tv[:, :, None] & tv[:, None, :], 0.0, eye)
+    Lt = jnp.linalg.cholesky(
+        Tsym + jnp.triu(jnp.swapaxes(Tsym, 1, 2), 1))
+    Bp = lvals[bp]                             # (S, R, W)
+    # solve Bp_new·Ltᵀ = Bp → Bp_new = Bp·Lt^{-T}
+    Bn = jax.scipy.linalg.solve_triangular(
+        Lt, jnp.swapaxes(Bp, 1, 2), lower=True)
+    Bn = jnp.swapaxes(Bn, 1, 2)
+    lvals = lvals.at[tp].set(
+        jnp.where(jnp.isfinite(Lt), jnp.tril(Lt), 0.0), mode="drop")
+    lvals = lvals.at[bp].set(Bn, mode="drop")
+    return lvals.at[-1].set(0.0)
+
+
 @jax.jit
 def factorize_supernodal(sched: SupernodalSchedule,
                          a_values: jax.Array) -> jax.Array:
     """Numeric phase; returns L's flat CSC value array (length nnz_l).
-    Statically unrolled over levels (per-level table shapes differ); the
-    whole factorization still compiles to one device program."""
+    Unrolled over shape groups, ``lax.scan`` within each group — one device
+    program whose graph size is O(#distinct level shapes)."""
     lvals = jnp.zeros(sched.nnz_l + 1, dtype=jnp.float32)
     lvals = lvals.at[sched.a_src_pos].add(
         a_values[sched.a_vals_idx].astype(jnp.float32))
-    nlev = len(sched.upd_gather_a)
 
-    for lv in range(nlev):
-        # 1) batched panel-outer-product updates on the MXU
-        A = lvals[sched.upd_gather_a[lv]]          # (U, I, W)
-        B = lvals[sched.upd_gather_b[lv]]          # (U, J, W)
-        U = jnp.einsum("uiw,ujw->uij", A, B,
-                       precision=jax.lax.Precision.HIGHEST)
-        lvals = lvals.at[sched.upd_scatter[lv]].add(-U)
-        lvals = lvals.at[-1].set(0.0)
-
-        # 2) batched panel finalisation
-        T = lvals[sched.top_pos[lv]]               # (S, W, W) lower part
-        valid = sched.top_valid[lv]                # (S, W)
-        eye = jnp.eye(T.shape[-1], dtype=T.dtype)
-        # make padded columns well-posed: unit diagonal, zero elsewhere
-        Tsym = T + jnp.where(valid[:, :, None] & valid[:, None, :],
-                             0.0, eye)
-        Lt = jnp.linalg.cholesky(
-            Tsym + jnp.triu(jnp.swapaxes(Tsym, 1, 2), 1))
-        Bp = lvals[sched.below_pos[lv]]            # (S, R, W)
-        # solve Bp_new·Ltᵀ = Bp → Bp_new = Bp·Lt^{-T}
-        Bn = jax.scipy.linalg.solve_triangular(
-            Lt, jnp.swapaxes(Bp, 1, 2), lower=True)
-        Bn = jnp.swapaxes(Bn, 1, 2)
-        lvals = lvals.at[sched.top_pos[lv]].set(
-            jnp.where(jnp.isfinite(Lt), jnp.tril(Lt), 0.0), mode="drop")
-        lvals = lvals.at[sched.below_pos[lv]].set(Bn, mode="drop")
-        lvals = lvals.at[-1].set(0.0)
+    for gi in range(len(sched.upd_gather_a)):
+        tabs = (sched.upd_gather_a[gi], sched.upd_gather_b[gi],
+                sched.upd_scatter[gi], sched.top_pos[gi],
+                sched.below_pos[gi], sched.top_valid[gi])
+        if tabs[0].shape[0] == 1:
+            lvals = _level_step(lvals, tuple(t[0] for t in tabs))
+        else:
+            lvals, _ = jax.lax.scan(
+                lambda lv, t: (_level_step(lv, t), None), lvals, tabs)
 
     return lvals[:-1]
 

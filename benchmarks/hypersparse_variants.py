@@ -116,6 +116,33 @@ def main():
             step, operand = step_unroll, (cols, vals)
         elif name == "unroll_bf16":
             step, operand = step_unroll_bf16, (cols, vals)
+        elif name.startswith("nsplit"):
+            # sequential N-column sections, each a full unrolled sum over
+            # (rows, nc) — bounds temps to width × rows × nc and exploits
+            # the measured higher per-byte rate of narrower gather rows.
+            # Sections are chained by a scalar data dependency so XLA
+            # cannot overlap their temp lifetimes.
+            nc = int(name[len("nsplit"):])
+
+            def make_nsplit(nc):
+                nsec = n_rhs // nc
+
+                def step(operand, carry):
+                    cc, vv = operand
+                    pieces = []
+                    dep = jnp.float32(0)
+                    for q in range(nsec):
+                        bq = carry[:, q * nc:(q + 1) * nc] * (1 + 0 * dep)
+                        out = vv[:, 0, None] * bq[cc[:, 0], :]
+                        for k in range(1, per):
+                            out = out + vv[:, k, None] * bq[cc[:, k], :]
+                        pieces.append(out)
+                        dep = out[0, 0]
+                    return jnp.concatenate(pieces, axis=1)
+
+                return step
+
+            step, operand = make_nsplit(nc), (cols, vals)
         elif name.startswith("scang"):
             # lax.scan over width-groups of G: bounds live temps to G full-
             # row gathers, pays acc read/write per step
