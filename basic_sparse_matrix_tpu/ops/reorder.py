@@ -68,12 +68,22 @@ def chol_fill(a: CSR, perm: np.ndarray = None) -> int:
     return int(l_indptr[-1])
 
 
+# Measured on chip (BENCH_RESULTS.md r2, n=4096 Laplacian): RCM's regular
+# band shapes beat ND on DEVICE TIME for both the supernodal numeric phase
+# (25.8 vs 45.8 ms) and the triangular solves (17 vs 82 ms) even at 1.5x
+# the fill — predicted nnz is a memory proxy, not a time proxy. ND is
+# chosen only when its fill advantage is large enough to flip that
+# (asymptotically guaranteed: O(n log n) vs O(n^1.5) on 2D meshes).
+ND_FILL_FACTOR = 0.45
+
+
 def best_permutation(a: CSR):
-    """Fill-minimising ordering: evaluates RCM and nested dissection by
-    predicted factor nnz (cheap native symbolic passes) and returns
-    ``(perm, name)`` for the winner (or ``(None, 'natural')`` when neither
-    beats the given order). This is dispatch-by-measurement, same policy as
-    spmm_auto."""
+    """Ordering auto-choice by predicted factor fill (cheap native symbolic
+    passes), device-time-biased: RCM wins ties and moderate fill gaps (its
+    regular level shapes run faster on chip — see ND_FILL_FACTOR note); ND
+    wins when its fill is < ``ND_FILL_FACTOR``× RCM's; natural order wins
+    only if it beats both outright. Returns ``(perm, name)`` with
+    ``(None, 'natural')`` for the given order."""
     fills = {"natural": chol_fill(a)}
     perms = {}
     for name, fn in (("rcm", rcm_permutation), ("nd", nd_permutation)):
@@ -82,7 +92,13 @@ def best_permutation(a: CSR):
             fills[name] = chol_fill(a, perms[name])
         except Exception:
             pass
-    winner = min(fills, key=fills.get)
+    if "nd" in fills and fills["nd"] < ND_FILL_FACTOR * fills.get(
+            "rcm", fills["natural"]):
+        winner = "nd"
+    elif "rcm" in fills and fills["rcm"] <= fills["natural"]:
+        winner = "rcm"
+    else:
+        winner = min(fills, key=fills.get)
     return perms.get(winner), winner
 
 

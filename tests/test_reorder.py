@@ -91,8 +91,9 @@ def test_nd_beats_rcm_on_grid():
     assert chol_fill(a, nd_permutation(a)) < chol_fill(a, rcm_permutation(a))
 
 
-def test_best_permutation_picks_minimum():
+def test_best_permutation_policy():
     from basic_sparse_matrix_tpu.ops.reorder import (
+        ND_FILL_FACTOR,
         best_permutation,
         chol_fill,
         nd_permutation,
@@ -105,8 +106,12 @@ def test_best_permutation_picks_minimum():
         "rcm": chol_fill(a, rcm_permutation(a)),
         "nd": chol_fill(a, nd_permutation(a)),
     }
-    assert chol_fill(a, perm) == min(fills.values())
-    assert name == min(fills, key=fills.get)
+    # device-time-biased policy: ND only on a large fill advantage
+    if fills["nd"] < ND_FILL_FACTOR * fills["rcm"]:
+        assert name == "nd"
+    elif fills["rcm"] <= fills["natural"]:
+        assert name == "rcm"
+    assert perm is None or chol_fill(a, perm) <= fills["natural"]
 
 
 def test_nd_ordered_solve_matches_dense():
