@@ -31,11 +31,14 @@ from .sparse_triangular import TriangularSchedule, build_schedule
 
 @dataclasses.dataclass(frozen=True)
 class PCGSetup:
-    """Host-side preparation: IC(0) factor + both triangular schedules."""
+    """Host-side preparation: IC(0) factor, both triangular schedules, and
+    (when the padding overhead permits) an ELL view of A so the per-
+    iteration matvec runs the scatter-free unrolled gather+FMA kernel."""
 
     a: CSR
     fwd: TriangularSchedule
     bwd: TriangularSchedule
+    ell: Optional["ELL"] = None
 
     @staticmethod
     def build(a: CSR) -> "PCGSetup":
@@ -45,7 +48,13 @@ class PCGSetup:
         l = sc.csc_to_csr_l(sched, np.asarray(jax.device_get(lvals)))
         fwd = build_schedule(l, lower=True)
         bwd = build_schedule(l.transpose(), lower=False)
-        return PCGSetup(a=a, fwd=fwd, bwd=bwd)
+        from ..ops.ell import csr_to_ell, ell_overhead
+        from ..utils.config import get_config
+
+        ell = None
+        if a.stored and ell_overhead(a) <= get_config().ell_max_overhead:
+            ell = csr_to_ell(a)
+        return PCGSetup(a=a, fwd=fwd, bwd=bwd, ell=ell)
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -75,7 +84,12 @@ def _pcg_loop(setup: PCGSetup, b: jax.Array, tol: jax.Array,
 
     def body(state):
         x, r, p, z, rz, it = state
-        ap = spmv(a, p)
+        if setup.ell is not None:
+            from ..ops.ell import spmv_ell
+
+            ap = spmv_ell(setup.ell, p)
+        else:
+            ap = spmv(a, p)
         alpha = rz / jnp.maximum(jnp.vdot(p, ap), 1e-30)
         x = x + alpha * p
         r = r - alpha * ap
@@ -91,7 +105,7 @@ def _pcg_loop(setup: PCGSetup, b: jax.Array, tol: jax.Array,
 
 
 jax.tree_util.register_dataclass(
-    PCGSetup, data_fields=["a", "fwd", "bwd"], meta_fields=[],
+    PCGSetup, data_fields=["a", "fwd", "bwd", "ell"], meta_fields=[],
 )
 
 

@@ -140,6 +140,15 @@ def spmm_ell(ell: ELL, b: jax.Array) -> jax.Array:
 
 @jax.jit
 def spmv_ell(ell: ELL, x: jax.Array) -> jax.Array:
+    """SpMV over ELL: width-unrolled gather+FMA (same fusion rationale as
+    :func:`_spmm_ell_unrolled`; the (rows, width) intermediate is small for
+    SpMV but the unrolled form still fuses the gathers) when width is
+    moderate, else one gathered product + row reduce."""
+    if ell.width <= UNROLL_MAX_WIDTH:
+        out = ell.vals[:, 0].astype(x.dtype) * x[ell.cols[:, 0]]
+        for k in range(1, ell.width):
+            out = out + ell.vals[:, k].astype(x.dtype) * x[ell.cols[:, k]]
+        return out
     prod = ell.vals.astype(x.dtype) * x[ell.cols]
     return jnp.sum(prod, axis=1)
 

@@ -21,11 +21,13 @@ class Config:
     bsr_block_rows: int = 8
     bsr_block_cols: int = 128
     rhs_tile: int = 128
-    # Dispatch thresholds.
+    # Dispatch thresholds (measured: benchmarks/autotune.py on v5e, r2:
+    # dense matmul wins from 0.5% density wherever the bytes guard admits
+    # it; the unrolled ELL path beats gather/segment up to 4x padding).
     bsr_min_fill: float = 0.02      # block fill below which gather path wins
-    dense_dispatch_density: float = 0.05   # densify-SpMM threshold
+    dense_dispatch_density: float = 0.005  # densify-SpMM threshold
     dense_dispatch_max_bytes: int = 2 << 30
-    ell_max_overhead: float = 2.0   # padded-slots/true-nnz cap for ELL
+    ell_max_overhead: float = 4.0   # padded-slots/true-nnz cap for ELL
     dense_cholesky_max_n: int = 2048
     dense_cholesky_min_density: float = 0.05
     supernodal_relax: int = 8       # per-panel padding budget (amalgamation)

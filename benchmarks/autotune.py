@@ -53,11 +53,12 @@ def measure_paths(n: int, n_rhs: int, density: float, i1: int, i2: int):
     results["dense"] = measure_loop(make_loop(step_dense), a_dense, b,
                                     i1=i1, i2=i2)
 
-    # ELL path
+    # ELL path (library dispatch: width-unrolled gather+FMA when it fits)
+    from basic_sparse_matrix_tpu.ops.ell import ELL, spmm_ell
+
     def step_ell(op, carry):
         c, v = op
-        return jnp.einsum("rp,rpn->rn", v, carry[c],
-                          precision=jax.lax.Precision.HIGHEST)
+        return spmm_ell(ELL(cols=c, vals=v, n_cols=n), carry)
 
     results["ell"] = measure_loop(make_loop(step_ell), (cols, vals), b,
                                   i1=i1, i2=i2)
@@ -78,6 +79,62 @@ def measure_paths(n: int, n_rhs: int, density: float, i1: int, i2: int):
                                   (flat_cols, flat_vals, row_ids), b,
                                   i1=i1, i2=i2)
     return results
+
+
+def measure_overhead_crossover(n: int, n_rhs: int, per_true: int,
+                               i1: int, i2: int):
+    """ELL-vs-CSR crossover in PADDING OVERHEAD: rows hold ``per_true``
+    entries on average but the ELL width is ``per_true * overhead`` (the
+    rest padding) — exactly what ``ell_max_overhead`` gates."""
+    import jax
+    import jax.numpy as jnp
+
+    from basic_sparse_matrix_tpu.ops.ell import ELL, spmm_ell
+
+    out = {}
+    for overhead in (1.5, 2.0, 3.0, 4.0, 6.0):
+        width = int(per_true * overhead)
+        key = jax.random.PRNGKey(1)
+        kc, kv, kb, km = jax.random.split(key, 4)
+        cols = jax.random.randint(kc, (n, width), 0, n, dtype=jnp.int32)
+        keep = (jax.random.uniform(km, (n, width))
+                < per_true / width)
+        vals = jnp.where(
+            keep, jax.random.normal(kv, (n, width), jnp.float32), 0.0)
+        cols = jnp.where(keep, cols, 0)
+        b = jax.random.normal(kb, (n, n_rhs), jnp.float32)
+
+        def step_ell(op, carry):
+            c, v = op
+            return spmm_ell(ELL(cols=c, vals=v, n_cols=n), carry)
+
+        t_ell = measure_loop(make_loop(step_ell), (cols, vals), b,
+                             i1=i1, i2=i2)
+
+        # CSR path at TRUE nnz (no padding): same entries, compacted
+        import numpy as np
+
+        ck, vk = np.asarray(cols), np.asarray(vals)
+        mask = np.asarray(keep)
+        rows_f = np.repeat(np.arange(n), mask.sum(axis=1))
+        flat_cols = jnp.asarray(ck[mask])
+        flat_vals = jnp.asarray(vk[mask])
+        rid = jnp.asarray(rows_f.astype(np.int32))
+
+        def step_csr(op, carry):
+            fc, fv, r = op
+            g = carry[fc] * fv[:, None]
+            return jax.ops.segment_sum(g, r, num_segments=n,
+                                       indices_are_sorted=True)
+
+        t_csr = measure_loop(make_loop(step_csr),
+                             (flat_cols, flat_vals, rid), b, i1=i1, i2=i2)
+        out[overhead] = {"ell": t_ell, "csr": t_csr,
+                         "best": "ell" if t_ell < t_csr else "csr"}
+        print(json.dumps({"overhead": overhead,
+                          "ell": f"{t_ell:.3e}", "csr": f"{t_csr:.3e}",
+                          "best": out[overhead]["best"]}), flush=True)
+    return out
 
 
 def main():
@@ -106,9 +163,16 @@ def main():
         if table[d]["best"] == "dense":
             crossover = d
             break
+
+    ocross = measure_overhead_crossover(args.n, args.n_rhs, 16,
+                                        args.i1, args.i2)
+    ell_max = max([o for o, r in ocross.items() if r["best"] == "ell"],
+                  default=2.0)
+
     tuned = {
         "dense_dispatch_density": crossover if crossover is not None
         else 0.05,
+        "ell_max_overhead": ell_max,
         "backend": jax.default_backend(),
         "n": args.n,
         "n_rhs": args.n_rhs,
