@@ -75,3 +75,30 @@ def test_auto_dispatch_correct_every_path():
         b = rng.standard_normal((256, 8)).astype(np.float32)
         out = np.asarray(spmm_auto(CSR.from_dense(d), jnp.asarray(b)))
         assert np.allclose(out, d @ b, rtol=1e-4, atol=1e-4), dens
+
+
+def test_spmm_ell_unrolled_matches_chunked():
+    """The unrolled and chunked formulations must agree; exercise both by
+    width (UNROLL_MAX_WIDTH boundary)."""
+    import jax.numpy as jnp
+
+    from basic_sparse_matrix_tpu.ops import ell as e
+
+    rng = np.random.default_rng(5)
+    for width in (4, e.UNROLL_MAX_WIDTH + 1):
+        rows, n_rhs = 64, 16
+        cols = rng.integers(0, rows, (rows, width)).astype(np.int32)
+        vals = rng.standard_normal((rows, width)).astype(np.float32)
+        b = rng.standard_normal((rows, n_rhs)).astype(np.float32)
+        ellm = e.ELL(cols=jnp.asarray(cols), vals=jnp.asarray(vals),
+                     n_cols=rows)
+        out = np.asarray(e.spmm_ell(ellm, jnp.asarray(b)))
+        dense = np.zeros((rows, rows), np.float32)
+        for r in range(rows):
+            for k in range(width):
+                dense[r, cols[r, k]] += vals[r, k]
+        assert np.allclose(out, dense @ b, rtol=1e-4, atol=1e-4)
+        # spmv too
+        x = rng.standard_normal(rows).astype(np.float32)
+        outv = np.asarray(e.spmv_ell(ellm, jnp.asarray(x)))
+        assert np.allclose(outv, dense @ x, rtol=1e-4, atol=1e-4)

@@ -271,3 +271,55 @@ def test_spgemm_planned_skewed_b_dense_row():
     ip, ix, vv = out.numpy()
     C = sp.csr_matrix((vv, ix, ip), shape=(n, n))
     assert abs(C - A @ B).max() < 1e-4
+
+
+def test_add_traced_operands_dispatch():
+    """Under jit the operands are traced: the merge must route to the
+    key-space/lexsort paths (no host plan) and still be exact."""
+    import jax
+
+    from basic_sparse_matrix_tpu.ops.elementwise import add, sub
+
+    rng = np.random.default_rng(11)
+    a = CSR.from_coo_arrays((40, 40), rng.integers(0, 40, 200),
+                            rng.integers(0, 40, 200),
+                            rng.standard_normal(200).astype(np.float32))
+    b = CSR.from_coo_arrays((40, 40), rng.integers(0, 40, 150),
+                            rng.integers(0, 40, 150),
+                            rng.standard_normal(150).astype(np.float32))
+
+    @jax.jit
+    def f(x, y):
+        return add(x, y).todense(), sub(x, y).todense()
+
+    s, d = f(a, b)
+    da, db = np.asarray(a.todense()), np.asarray(b.todense())
+    assert np.allclose(np.asarray(s), da + db, atol=1e-5)
+    assert np.allclose(np.asarray(d), da - db, atol=1e-5)
+
+
+def test_add_keyspace_large_shape_falls_back():
+    """Shapes whose cell space exceeds the accumulator budget must use the
+    lexsort merge under tracing (no int32 overflow, no giant alloc)."""
+    from basic_sparse_matrix_tpu.ops import elementwise as ew
+
+    rng = np.random.default_rng(12)
+    big = (200_000, 200_000)  # 4e10 cells > int32 range
+    a = CSR.from_coo_arrays(big, rng.integers(0, big[0], 100),
+                            rng.integers(0, big[1], 100),
+                            rng.standard_normal(100).astype(np.float32))
+    b = CSR.from_coo_arrays(big, rng.integers(0, big[0], 100),
+                            rng.integers(0, big[1], 100),
+                            rng.standard_normal(100).astype(np.float32))
+    assert not ew._use_keyspace(a, b)
+    out = ew.add(a, b)  # planned path (concrete) — must handle big shapes
+    assert out.shape == big
+    ia, xa, va = a.numpy()
+    ib, xb, vb = b.numpy()
+    io, xo, vo = out.numpy()
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix((va, xa, ia), shape=big)
+    B = sp.csr_matrix((vb, xb, ib), shape=big)
+    C = sp.csr_matrix((vo, xo, io), shape=big)
+    assert abs(C - (A + B)).max() < 1e-6
