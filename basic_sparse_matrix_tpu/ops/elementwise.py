@@ -105,6 +105,10 @@ def _merge_keyspace(a: CSR, b: CSR, b_sign: int) -> CSR:
 _merge_keyspace_jit = jax.jit(_merge_keyspace, static_argnums=2)
 
 
+class _HasDuplicateCoords(Exception):
+    """Operand stores duplicate coordinates — planned merge inapplicable."""
+
+
 class _MergePlan:
     """Value-independent merge plan for a fixed (pattern_a, pattern_b) pair:
     the union coordinates (sorted, static capacity ``nnz_a + nnz_b`` with
@@ -126,6 +130,14 @@ class _MergePlan:
         rb = np.repeat(np.arange(b.rows, dtype=np.int64), np.diff(ib))
         ka = ra * a.cols + xa
         kb = rb * b.cols + xb
+        # The inverse gather maps can carry at most ONE entry per operand
+        # per output slot. Operands with duplicate stored coordinates (e.g.
+        # the capacity-padded output of a previous merge) would silently
+        # lose values — refuse, and let the dispatcher fall back to the
+        # duplicate-safe key-space/lexsort merges.
+        if (np.unique(ka).size != ka.size
+                or np.unique(kb).size != kb.size):
+            raise _HasDuplicateCoords()
         union = np.union1d(ka, kb)
         m = union.shape[0]
         keys = np.full(n, (a.rows - 1) * a.cols + (a.cols - 1),
@@ -198,10 +210,13 @@ def _dispatch_merge(a: CSR, b: CSR, b_sign: int) -> CSR:
     concrete = not (isinstance(a.values, jax.core.Tracer)
                     or isinstance(b.values, jax.core.Tracer))
     if concrete and a.stored + b.stored:
-        # symbolic/numeric split: one host plan per pattern pair, then one
-        # fused scatter-add per call (measured 11x the lexsort merge at the
-        # reference ss_add workload)
-        return _merge_planned(a, b, b_sign)
+        # symbolic/numeric split: one host plan per pattern pair, then two
+        # inverse gathers + add per call (7.7x the lexsort merge at the
+        # reference ss_add workload on chip)
+        try:
+            return _merge_planned(a, b, b_sign)
+        except _HasDuplicateCoords:
+            pass  # e.g. a previous merge's capacity-padded output
     if _use_keyspace(a, b):
         return _merge_keyspace_jit(a, b, b_sign)
     return _merge_jit(a, b, b_sign)

@@ -323,3 +323,38 @@ def test_add_keyspace_large_shape_falls_back():
     B = sp.csr_matrix((vb, xb, ib), shape=big)
     C = sp.csr_matrix((vo, xo, io), shape=big)
     assert abs(C - (A + B)).max() < 1e-6
+
+
+def test_chained_adds_with_padded_intermediate():
+    """add(add(a,b), c): the inner result carries capacity padding /
+    duplicate coordinates — the planned merge must refuse it (gather maps
+    lose duplicates) and the fallback path must stay exact. Round-2
+    self-review regression."""
+    from basic_sparse_matrix_tpu.ops.elementwise import add
+
+    rng = np.random.default_rng(21)
+
+    def rand(seed, nnz=120):
+        r = np.random.default_rng(seed)
+        # force a stored entry at (29, 29): the padded merge parks its
+        # fill slots there, so a real value at that coordinate is exactly
+        # what the buggy gather map overwrote
+        rows = np.concatenate([r.integers(0, 30, nnz), [29]])
+        cols = np.concatenate([r.integers(0, 30, nnz), [29]])
+        vals = np.concatenate(
+            [r.standard_normal(nnz), [1.5]]).astype(np.float32)
+        return CSR.from_coo_arrays((30, 30), rows, cols, vals)
+
+    a, b, c = rand(1), rand(2), rand(3)
+    inner = add(a, b)
+    # the padded intermediate really does carry duplicate coords
+    ii, ix, _ = inner.numpy()
+    rr = np.repeat(np.arange(30), np.diff(ii))
+    keys = rr.astype(np.int64) * 30 + ix
+    assert np.unique(keys).size != keys.size
+    out = add(inner, c)
+    ref = (np.asarray(a.todense()) + np.asarray(b.todense())
+           + np.asarray(c.todense()))
+    assert np.allclose(np.asarray(out.todense()), ref, atol=1e-5)
+    out2 = add(c, inner)  # duplicate coords on the right operand
+    assert np.allclose(np.asarray(out2.todense()), ref, atol=1e-5)
