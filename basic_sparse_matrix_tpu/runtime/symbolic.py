@@ -439,7 +439,12 @@ def nd_ordering(n: int, indptr, indices, *, leaf: int = 64) -> np.ndarray:
             continue
         mid = level[order2[len(order2) // 2]]
         max_level = level[order2[-1]]
-        mid = max(1, min(mid, max_level - 1))
+        # mirror csparse.cpp exactly (sequential clamps; a depth-1 structure
+        # yields mid 0: empty A, root as separator)
+        if mid == 0:
+            mid = 1
+        if mid == max_level:
+            mid = max_level - 1
         a = sorted(v for v in verts if level[v] < mid)
         b = sorted(v for v in verts if level[v] > mid)
         s = sorted(v for v in verts if level[v] == mid)

@@ -197,3 +197,38 @@ def test_native_matches_fallback_supernodal_pieces():
     assert np.array_equal(sid_n, sid_p)
     assert np.array_equal(exp_ptr_n, exp_ptr_p)
     assert np.array_equal(exp_rows_n, exp_rows_p)
+
+
+def test_native_matches_fallback_nd_edge_structures():
+    """Depth-1 (star) and chain structures hit the split-level clamps —
+    native and fallback must stay identical there too."""
+    import basic_sparse_matrix_tpu.runtime.symbolic as sym
+
+    lib = sym.native_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    def pattern(d):
+        n = d.shape[0]
+        rows, cols = np.nonzero(d)
+        indptr = np.zeros(n + 1, np.int64)
+        np.add.at(indptr[1:], rows, 1)
+        return n, np.cumsum(indptr), cols.astype(np.int64)
+
+    star = np.eye(101, dtype=bool)
+    star[0, 1:] = star[1:, 0] = True
+    chain = np.eye(150, dtype=bool)
+    for i in range(149):
+        chain[i, i + 1] = chain[i + 1, i] = True
+    for d in (star, chain):
+        n, indptr, indices = pattern(d)
+        native = sym.nd_ordering(n, indptr, indices)
+        try:
+            sym._lib = False
+            py = sym.nd_ordering(n, indptr, indices)
+        finally:
+            sym._lib = lib
+        assert np.array_equal(native, py)
+        assert sorted(native.tolist()) == list(range(n))
