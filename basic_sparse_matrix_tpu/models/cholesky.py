@@ -64,9 +64,16 @@ def cholesky_auto(a: CSR) -> CSR:
     if (a.rows <= cfg.dense_cholesky_max_n
             or a.get_density() > cfg.dense_cholesky_min_density):
         return cholesky(a)
+    from . import banded as _bd
     from . import sparse_cholesky as _sc
     from . import supernodal as _sn
 
+    # banded block-tridiagonal scan when the given-order bandwidth is small
+    # (cholesky matches the reference's factor-in-given-order semantics, so
+    # no reordering here — solve_sparse reorders before its banded check)
+    nb = _bd.banded_block_choice(a)
+    if nb is not None:
+        return _bd.assemble_factor_csr(_bd.factor_banded(a, nb))
     width, _ = _sn.supernode_stats(a, relax=cfg.supernodal_relax)
     if width >= 2.0:
         # panels amalgamate → dense MXU updates pay off

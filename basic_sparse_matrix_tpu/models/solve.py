@@ -78,12 +78,22 @@ def solve_sparse(a: CSR, b, *, reorder: bool = True) -> jax.Array:
         if perm is not None:
             a = permute_symmetric(a, perm)
             rhs = apply_perm(rhs, perm)
-    # factorization choice: supernodal panel phase when the (reordered)
-    # pattern amalgamates into panels (measured 3.9x the scatter-list phase
-    # on TPU at width ~9), else the scalar scatter-list path. The dispatch
-    # decision uses the cheap partition-only pass; the full supernodal
-    # schedule is built only when it wins, and both paths share one
-    # chol_symbolic via the instance cache (no double symbolic work).
+    # factorization choice, cheapest check first:
+    # 1. banded block-tridiagonal scan when the (reordered) bandwidth fits a
+    #    small block — one shape for the whole factorization + both solves;
+    # 2. supernodal panel phase when the pattern amalgamates into panels
+    #    (measured 3.9-8.1x the scatter-list phase on TPU at width ~9);
+    # 3. scalar scatter-list path otherwise. The supernodal dispatch uses
+    #    the cheap partition-only pass; the full schedule is built only when
+    #    it wins, and both share one chol_symbolic via the instance cache.
+    from . import banded as _bd
+
+    nb = _bd.banded_block_choice(a)
+    if nb is not None:
+        x = _bd.solve_banded(a, rhs, nb)
+        if perm is not None:
+            x = apply_perm(x, perm, inverse=True)
+        return x
     from ..utils.config import get_config
     from . import supernodal as _sn
 

@@ -32,6 +32,12 @@ class Config:
     dense_cholesky_min_density: float = 0.05
     supernodal_relax: int = 8       # per-panel padding budget (amalgamation)
     ordering: str = "auto"          # fill ordering: auto|rcm|nd|natural
+    # Banded (block-tridiagonal) factorization dispatch: used when the
+    # (reordered) half-bandwidth fits a block size <= banded_max_block and
+    # the dense band storage stays under banded_max_bytes. 0 disables.
+    banded_max_block: int = 256
+    banded_max_bytes: int = 1 << 30
+    banded_min_steps: int = 4       # need >= this many block rows to pay off
     # Numerics.
     matmul_precision: str = "highest"  # this env quantizes default matmuls
     solve_dtype: str = "float32"

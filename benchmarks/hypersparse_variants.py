@@ -143,6 +143,32 @@ def main():
                 return step
 
             step, operand = make_nsplit(nc), (cols, vals)
+        elif name.startswith("barrier"):
+            # straight-line width terms with an optimization_barrier between
+            # groups of G: within a group the gathers fuse into the FMA
+            # chain (the unroll win); between groups XLA cannot hoist or
+            # overlap temp lifetimes (B is threaded through the barrier, so
+            # later gathers depend on it) — bounds live temps to G terms
+            # without lax.scan's per-step acc read/write.
+            g = int(name[len("barrier"):])
+
+            def make_barrier(G):
+                ngroups = -(-per // G)
+
+                def step(operand, carry):
+                    cc, vv = operand
+                    bb, out = carry, None
+                    for q in range(ngroups):
+                        for k in range(q * G, min((q + 1) * G, per)):
+                            term = vv[:, k, None] * bb[cc[:, k], :]
+                            out = term if out is None else out + term
+                        if q + 1 < ngroups:
+                            out, bb = jax.lax.optimization_barrier((out, bb))
+                    return out
+
+                return step
+
+            step, operand = make_barrier(g), (cols, vals)
         elif name.startswith("scang"):
             # lax.scan over width-groups of G: bounds live temps to G full-
             # row gathers, pays acc read/write per step
