@@ -18,16 +18,24 @@ Layer map (mirrors SURVEY.md §1):
 """
 
 from .models import (
+    DirectSolver,
+    SparseOperator,
     backward_substitution,
     cholesky,
     cholesky_auto,
     cholesky_decomp,
     cholesky_dense,
+    cholesky_sparse,
     eigen_values,
+    eigen_values_sym,
     forward_substitution,
+    pcg_solve,
+    prepare_direct,
     qr_decomp,
     solve,
+    solve_auto,
     solve_dense,
+    solve_sparse,
 )
 from .ops import (
     COO,

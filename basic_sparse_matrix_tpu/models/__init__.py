@@ -4,7 +4,8 @@ from .supernodal import cholesky_supernodal
 from .qr import (eigen_values, eigen_values_dense, eigen_values_sym, qr_decomp, qr_dense)
 from .operator import SparseOperator
 from .pcg import PCGSetup, pcg_solve
-from .solve import solve, solve_auto, solve_dense, solve_sparse
+from .solve import (DirectSolver, prepare_direct, solve, solve_auto,
+                    solve_dense, solve_sparse)
 from .triangular import (
     backward_substitution,
     forward_substitution,
@@ -27,6 +28,8 @@ __all__ = [
     "solve_dense",
     "solve_sparse",
     "solve_auto",
+    "prepare_direct",
+    "DirectSolver",
     "pcg_solve",
     "PCGSetup",
     "SparseOperator",

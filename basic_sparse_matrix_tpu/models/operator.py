@@ -16,7 +16,6 @@ import jax.numpy as jnp
 
 from ..ops.csr import CSR
 from ..ops.spmm import mul_dense, mul_vector
-from ..utils.errors import NonSquareMatrix, check
 
 
 @dataclasses.dataclass
@@ -45,30 +44,17 @@ class SparseOperator:
     # ------------------------------------------------------------------ #
     def _ensure_direct(self):
         if self._direct is None:
-            check(self.a.rows == self.a.cols, NonSquareMatrix,
-                  "solve needs square operator")
-            from .sparse_cholesky import cholesky_sparse
-            from .sparse_triangular import build_schedule
+            from .solve import prepare_direct
 
-            l = cholesky_sparse(self.a)
-            fwd = build_schedule(l, lower=True)
-            bwd = build_schedule(l.transpose(), lower=False)
-            self._direct = (l, fwd, bwd)
+            self._direct = prepare_direct(self.a)
         return self._direct
 
     def solve(self, b) -> jax.Array:
-        """Direct SPD solve; the factorization is computed once and reused
-        for every subsequent right-hand side."""
-        from .sparse_triangular import _solve_scheduled
-
-        _, fwd, bwd = self._ensure_direct()
-        b = jnp.asarray(b, dtype=jnp.float32)
-        squeeze = b.ndim == 1
-        if squeeze:
-            b = b[:, None]
-        y = _solve_scheduled(fwd, b)
-        x = jnp.flip(_solve_scheduled(bwd, jnp.flip(y, 0)), 0)
-        return x[:, 0] if squeeze else x
+        """Direct SPD solve; ordering, factorization (banded / supernodal /
+        scatter-list — :class:`models.solve.DirectSolver` dispatch), and
+        solve schedules are computed once and reused for every subsequent
+        right-hand side."""
+        return self._ensure_direct().solve(b)
 
     def solve_cg(self, b, tol: float = 1e-6, max_iters: int = 1000):
         """IC(0)-preconditioned CG; the preconditioner is built once."""

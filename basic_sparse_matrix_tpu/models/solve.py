@@ -42,78 +42,115 @@ def solve(a: CSR, b) -> jax.Array:
     return solve_dense(a.todense(), rhs)
 
 
+class DirectSolver:
+    """Prepared sparse direct solver: fill-reducing ordering, numeric
+    factorization, and triangular-solve schedules built ONCE at
+    construction; :meth:`solve` then runs only device programs. The
+    serving-path analogue of scipy's ``factorized`` — cached by
+    ``SparseOperator`` and used one-shot by :func:`solve_sparse`.
+
+    Factorization backend, cheapest check first:
+
+    1. banded block-tridiagonal scan when the (reordered) bandwidth fits a
+       small block — one shape for the whole factorization + both solves
+       (measured 29×/23× the supernodal/level-scheduled phases at n=4096);
+    2. supernodal panel phase when the pattern amalgamates into panels
+       (measured 3.9-8.1× the scatter-list phase on TPU at width ~9);
+    3. scalar scatter-list path otherwise. The supernodal dispatch uses
+       the cheap partition-only pass; the full schedule is built only when
+       it wins, and both share one chol_symbolic via the instance cache.
+    """
+
+    def __init__(self, a: CSR, *, reorder: bool = True):
+        from ..ops.reorder import (
+            best_permutation,
+            nd_permutation,
+            permute_symmetric,
+            rcm_permutation,
+        )
+        from ..utils.config import get_config
+        from . import banded as _bd
+
+        check(a.rows == a.cols, NonSquareMatrix,
+              f"sparse direct solve requires square A, got {a.dims}")
+        self.n = a.rows
+        self.perm = None
+        if reorder:
+            ordering = get_config().ordering
+            if ordering == "auto":
+                self.perm, _ = best_permutation(a)
+            elif ordering == "rcm":
+                self.perm = rcm_permutation(a)
+            elif ordering == "nd":
+                self.perm = nd_permutation(a)
+            if self.perm is not None:
+                a = permute_symmetric(a, self.perm)
+        self._banded = None
+        self._l = self._fwd = self._bwd = None
+        nb = _bd.banded_block_choice(a)
+        if nb is not None:
+            self.kind = "banded"
+            self._banded = _bd.factor_banded(a, nb)
+            return
+        from . import supernodal as _sn
+        from .sparse_cholesky import cholesky_sparse
+        from .sparse_triangular import build_schedule
+
+        width, _ = _sn.supernode_stats(a, relax=get_config().supernodal_relax)
+        if width >= 2.0:
+            import jax as _jax
+            import numpy as _np
+
+            sched = _sn.analyze_supernodal(
+                a, relax=get_config().supernodal_relax)
+            lvals = _np.asarray(_jax.device_get(
+                _sn.factorize_supernodal(sched, a.values)))
+            self._l = _sn.assemble_factor(a, lvals, sched)
+            self.kind = "supernodal"
+        else:
+            self._l = cholesky_sparse(a)
+            self.kind = "scatter"
+        self._fwd = build_schedule(self._l, lower=True)
+        self._bwd = build_schedule(self._l.transpose(), lower=False)
+
+    def solve(self, b) -> jax.Array:
+        """Solve ``A x = b`` from the prepared factorization; ``b`` may be a
+        Dense wrapper, 1D vector, or (n, k) array. 1D input returns 1D."""
+        from ..ops.reorder import apply_perm
+        from . import banded as _bd
+        from .sparse_triangular import solve_triangular_sparse
+
+        rhs = _as_array(b)
+        squeeze = not isinstance(b, Dense) and jnp.asarray(b).ndim == 1
+        check(rhs.shape[0] == self.n, IncorrectDimensions,
+              f"solve: A n={self.n} vs b {rhs.shape}")
+        if self.perm is not None:
+            rhs = apply_perm(rhs, self.perm)
+        if self._banded is not None:
+            x = _bd.solve_factored_banded(self._banded, rhs)
+        else:
+            y = solve_triangular_sparse(self._l, rhs, self._fwd)
+            x = solve_triangular_sparse(self._l, y, self._bwd, lower=False)
+        if self.perm is not None:
+            x = apply_perm(x, self.perm, inverse=True)
+        return x[:, 0] if squeeze else x
+
+
+def prepare_direct(a: CSR, *, reorder: bool = True) -> DirectSolver:
+    """Build a reusable :class:`DirectSolver` (ordering + factorization +
+    solve schedules, all one-time) for repeated right-hand sides."""
+    return DirectSolver(a, reorder=reorder)
+
+
 def solve_sparse(a: CSR, b, *, reorder: bool = True) -> jax.Array:
     """Fully sparse solve pipeline: fill-reducing preordering (config
     ``ordering``: auto picks the lower predicted fill of RCM vs nested
     dissection — internal, the returned x is for the original system) →
-    level-scheduled Cholesky factorization (symbolic analysis in the native
-    runtime) → level-set-parallel forward/backward substitution. The
-    scalable counterpart of :func:`solve` for matrices where densifying is
-    wasteful."""
-    from ..ops.reorder import (
-        apply_perm,
-        best_permutation,
-        nd_permutation,
-        permute_symmetric,
-        rcm_permutation,
-    )
-    from ..utils.config import get_config
-    from .sparse_cholesky import cholesky_sparse
-    from .sparse_triangular import solve_triangular_sparse
-
-    check(a.rows == a.cols, NonSquareMatrix,
-          f"solve_sparse requires square A, got {a.dims}")
-    rhs = _as_array(b)
-    check(rhs.shape[0] == a.rows, IncorrectDimensions,
-          f"solve_sparse: A {a.dims} vs b {rhs.shape}")
-    perm = None
-    if reorder:
-        ordering = get_config().ordering
-        if ordering == "auto":
-            perm, _ = best_permutation(a)
-        elif ordering == "rcm":
-            perm = rcm_permutation(a)
-        elif ordering == "nd":
-            perm = nd_permutation(a)
-        if perm is not None:
-            a = permute_symmetric(a, perm)
-            rhs = apply_perm(rhs, perm)
-    # factorization choice, cheapest check first:
-    # 1. banded block-tridiagonal scan when the (reordered) bandwidth fits a
-    #    small block — one shape for the whole factorization + both solves;
-    # 2. supernodal panel phase when the pattern amalgamates into panels
-    #    (measured 3.9-8.1x the scatter-list phase on TPU at width ~9);
-    # 3. scalar scatter-list path otherwise. The supernodal dispatch uses
-    #    the cheap partition-only pass; the full schedule is built only when
-    #    it wins, and both share one chol_symbolic via the instance cache.
-    from . import banded as _bd
-
-    nb = _bd.banded_block_choice(a)
-    if nb is not None:
-        x = _bd.solve_banded(a, rhs, nb)
-        if perm is not None:
-            x = apply_perm(x, perm, inverse=True)
-        return x
-    from ..utils.config import get_config
-    from . import supernodal as _sn
-
-    width, _ = _sn.supernode_stats(a, relax=get_config().supernodal_relax)
-    if width >= 2.0:
-        import jax as _jax
-        import numpy as _np
-
-        sched = _sn.analyze_supernodal(
-            a, relax=get_config().supernodal_relax)
-        lvals = _np.asarray(_jax.device_get(
-            _sn.factorize_supernodal(sched, a.values)))
-        l = _sn.assemble_factor(a, lvals, sched)
-    else:
-        l = cholesky_sparse(a)
-    y = solve_triangular_sparse(l, rhs, lower=True)
-    x = solve_triangular_sparse(l.transpose(), y, lower=False)
-    if perm is not None:
-        x = apply_perm(x, perm, inverse=True)
-    return x
+    banded / supernodal / level-scheduled Cholesky factorization (symbolic
+    analysis in the native runtime) → batched-scan or level-set-parallel
+    forward/backward substitution. The scalable counterpart of :func:`solve`
+    for matrices where densifying is wasteful."""
+    return DirectSolver(a, reorder=reorder).solve(_as_array(b))
 
 
 def solve_auto(a: CSR, b) -> jax.Array:

@@ -16,6 +16,7 @@ under 2×.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -94,12 +95,32 @@ def _spmm_ell_unrolled(ell: ELL, b: jax.Array) -> jax.Array:
     return out
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _spmm_ell_barriered(ell: ELL, b: jax.Array, group: int) -> jax.Array:
+    """Width-unrolled gather+FMA with an ``optimization_barrier`` between
+    groups of ``group`` terms.
+
+    The plain unroll lets XLA schedule every gather concurrently — at
+    1M×32×512 the live (rows, n_rhs) temps total 64 GB and OOM. Threading
+    (acc, B) through a barrier after each group forces later gathers to
+    wait (they depend on the post-barrier B), bounding live temps to one
+    group while keeping the within-group gather→FMA fusion that the
+    chunked-einsum fallback lacks. Measured 0.21 vs 0.14 of the gather
+    roofline at the 1M×32×512 BASELINE point (BENCH_RESULTS.md r2)."""
+    bb, out = b, None
+    ngroups = -(-ell.width // group)
+    for q in range(ngroups):
+        for k in range(q * group, min((q + 1) * group, ell.width)):
+            term = ell.vals[:, k, None].astype(bb.dtype) * bb[ell.cols[:, k]]
+            out = term if out is None else out + term
+        if q + 1 < ngroups:
+            out, bb = jax.lax.optimization_barrier((out, bb))
+    return out
+
+
 def _chunk_rows(ell: ELL, n_rhs: int) -> int:
     per_row = ell.width * n_rhs * 4
     return max(1, INTERMEDIATE_BUDGET_BYTES // max(per_row, 1))
-
-
-import functools
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -127,11 +148,17 @@ def spmm_ell(ell: ELL, b: jax.Array) -> jax.Array:
     """SpMM via gather + per-row reduce: ``out[r] = Σ_k vals[r,k]·B[cols[r,k]]``.
     Padding slots contribute ``0 · B[0]``. Fastest path: width-unrolled
     gather+FMA (fusable, no (rows, width, n_rhs) intermediate) while the
-    live-temp estimate fits; else the chunked einsum formulation."""
+    live-temp estimate fits; else the barrier-grouped unroll (live temps
+    bounded to one group, fusion kept within it); else the chunked einsum
+    formulation (wide rows, where unrolling stops making sense)."""
     n_rhs = int(b.shape[1])
     temp_bytes = ell.width * ell.n_rows * n_rhs * 4
-    if ell.width <= UNROLL_MAX_WIDTH and temp_bytes <= UNROLL_TEMP_BUDGET_BYTES:
-        return _spmm_ell_unrolled(ell, b)
+    if ell.width <= UNROLL_MAX_WIDTH:
+        if temp_bytes <= UNROLL_TEMP_BUDGET_BYTES:
+            return _spmm_ell_unrolled(ell, b)
+        group = UNROLL_TEMP_BUDGET_BYTES // max(ell.n_rows * n_rhs * 4, 1)
+        if group >= 2:
+            return _spmm_ell_barriered(ell, b, int(group))
     chunk = _chunk_rows(ell, n_rhs)
     if chunk >= ell.n_rows:
         return _spmm_ell_direct(ell, b)

@@ -151,13 +151,13 @@ class TestDispatch:
         set_config(self._with_cfg(banded_min_steps=2))
         try:
             called = {}
-            orig = banded.solve_banded
+            orig = banded.factor_banded
 
-            def spy(a, b, nb=None):
+            def spy(a, nb=None):
                 called["nb"] = nb
-                return orig(a, b, nb)
+                return orig(a, nb)
 
-            monkeypatch.setattr(banded, "solve_banded", spy)
+            monkeypatch.setattr(banded, "factor_banded", spy)
             dense = _laplacian_2d(12)
             rng = np.random.default_rng(5)
             b = rng.standard_normal((144, 2)).astype(np.float32)

@@ -102,3 +102,33 @@ def test_spmm_ell_unrolled_matches_chunked():
         x = rng.standard_normal(rows).astype(np.float32)
         outv = np.asarray(e.spmv_ell(ellm, jnp.asarray(x)))
         assert np.allclose(outv, dense @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_ell_barriered_matches_oracle(monkeypatch):
+    """The barrier-grouped unroll (the 1M×512 shipping path) must match the
+    gather oracle; force dispatch to it by shrinking the temp budget, and
+    drive the kernel directly at group sizes that tile and don't tile the
+    width."""
+    import jax.numpy as jnp
+
+    from basic_sparse_matrix_tpu.ops import ell as e
+
+    rng = np.random.default_rng(11)
+    rows, width, n_rhs = 96, 7, 8
+    cols = rng.integers(0, rows, (rows, width)).astype(np.int32)
+    vals = rng.standard_normal((rows, width)).astype(np.float32)
+    b = rng.standard_normal((rows, n_rhs)).astype(np.float32)
+    ellm = e.ELL(cols=jnp.asarray(cols), vals=jnp.asarray(vals), n_cols=rows)
+    dense = np.zeros((rows, rows), np.float32)
+    for r in range(rows):
+        for k in range(width):
+            dense[r, cols[r, k]] += vals[r, k]
+    oracle = dense @ b
+    for group in (2, 3, 7, 16):  # non-dividing, dividing, over-wide
+        out = np.asarray(e._spmm_ell_barriered(ellm, jnp.asarray(b), group))
+        assert np.allclose(out, oracle, rtol=1e-4, atol=1e-4), group
+    # dispatch: a budget of ~3 rows of temps forces the barriered path
+    monkeypatch.setattr(e, "UNROLL_TEMP_BUDGET_BYTES",
+                        3 * rows * n_rhs * 4)
+    out = np.asarray(e.spmm_ell(ellm, jnp.asarray(b)))
+    assert np.allclose(out, oracle, rtol=1e-4, atol=1e-4)
