@@ -219,6 +219,54 @@ def main():
     adt = measure_loop(make_loop(add_step), (sa,), sb.values,
                        i1=5, i2=45, reps=2)
 
+    # ---- direct-solve sub-metric: banded factor+solve at n=4096 ----
+    # The flagship solve path (BENCH_RESULTS.md r2: 29x the supernodal
+    # numeric phase): RCM-ordered 64x64 2D Laplacian is block-tridiagonal
+    # at nb=64; one lax.scan factorization + block-bidiagonal solves.
+    from basic_sparse_matrix_tpu.models import banded as _banded
+    from basic_sparse_matrix_tpu.ops.reorder import (
+        bandwidth as _bandwidth,
+        permute_symmetric as _psym,
+        rcm_permutation as _rcm,
+    )
+    from basic_sparse_matrix_tpu.utils.config import matmul_precision
+
+    gk = 64
+    gn = gk * gk
+    ii, jj = _np.meshgrid(_np.arange(gk), _np.arange(gk), indexing="ij")
+    rid = (ii * gk + jj).ravel()
+    ls_rows, ls_cols, ls_vals = [rid], [rid], [_np.full(gn, 4.0, _np.float32)]
+    for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        ok = ((0 <= ii + di) & (ii + di < gk)
+              & (0 <= jj + dj) & (jj + dj < gk)).ravel()
+        ls_rows.append(rid[ok])
+        ls_cols.append(((ii + di) * gk + (jj + dj)).ravel()[ok])
+        ls_vals.append(_np.full(ok.sum(), -1.0, _np.float32))
+    a4 = CSR.from_coo_arrays(
+        (gn, gn), _np.concatenate(ls_rows), _np.concatenate(ls_cols),
+        _np.concatenate(ls_vals))
+    ap4 = _psym(a4, _rcm(a4))
+    nb4 = _banded.block_size_for(_bandwidth(ap4), gn)
+    D4, E4 = _banded.band_blocks(ap4, nb4)
+    D4, E4 = jnp.asarray(D4), jnp.asarray(E4)
+    prec = matmul_precision()
+
+    def factor_step(e, d):
+        L, _ = _banded.cholesky_banded_blocks(d, e)
+        return jnp.matmul(L, jnp.swapaxes(L, 1, 2), precision=prec)
+
+    fdt = measure_loop(make_loop(factor_step), E4, D4, i1=5, i2=55, reps=2)
+
+    L4, F4 = _banded.cholesky_banded_blocks(D4, E4)
+    b4 = jax.random.normal(jax.random.PRNGKey(2),
+                           (int(D4.shape[0]), nb4, 8), jnp.float32)
+
+    def solve_step(lf, carry):
+        return _banded.solve_banded_blocks(lf[0], lf[1], carry)
+
+    sdt = measure_loop(make_loop(solve_step), (L4, F4), b4,
+                       i1=20, i2=220, reps=2)
+
     print(json.dumps({
         "metric": "spmm_sd_mul_elements_per_s",
         "value": float(f"{elements_per_s:.4g}"),
@@ -230,6 +278,10 @@ def main():
             "ss_add_elements_per_s": float(
                 f"{(sa.stored + sb.stored) / adt:.4g}"),
             "ss_add_s": float(f"{adt:.4g}"),
+        },
+        "solve": {
+            "banded_factor_4096_ms": float(f"{fdt * 1e3:.4g}"),
+            "banded_solve_4096_ms": float(f"{sdt * 1e3:.4g}"),
         },
     }))
 

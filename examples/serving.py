@@ -1,0 +1,73 @@
+"""Serving-shaped example: prepare a sparse operator once, reuse it.
+
+Production deployments solve against one matrix many times (time-stepping,
+multiple load cases, online serving). ``SparseOperator`` /
+``prepare_direct`` build the ordering, factorization (banded → supernodal →
+scatter-list dispatch ladder), and triangular-solve schedules ONCE; each
+subsequent ``solve`` runs only device programs. The reference crate
+(`/root/reference/src/lib.rs:11-24`) refactors A on every ``solve`` call —
+this wrapper is the deployment-shaped API it lacks.
+
+Run: ``python examples/serving.py [--k 64] [--n-rhs 8] [--repeats 5]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def laplacian_2d(k: int):
+    ii, jj = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
+    rid = (ii * k + jj).ravel()
+    rows, cols, vals = [rid], [rid], [np.full(k * k, 4.0, np.float32)]
+    for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        ok = ((0 <= ii + di) & (ii + di < k)
+              & (0 <= jj + dj) & (jj + dj < k)).ravel()
+        rows.append(rid[ok])
+        cols.append(((ii + di) * k + (jj + dj)).ravel()[ok])
+        vals.append(np.full(int(ok.sum()), -1.0, np.float32))
+    return np.concatenate(rows), np.concatenate(cols), np.concatenate(vals)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=64)
+    ap.add_argument("--n-rhs", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+
+    from basic_sparse_matrix_tpu import CSR, SparseOperator
+
+    n = args.k * args.k
+    rows, cols, vals = laplacian_2d(args.k)
+    a = CSR.from_coo_arrays((n, n), rows, cols, vals)
+    op = SparseOperator(a)
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    op.solve(rng.standard_normal((n, args.n_rhs)).astype(np.float32))
+    prep_s = time.time() - t0
+    solver = op._ensure_direct()
+    print(f"n={n}  backend={jax.default_backend()}  "
+          f"factorization={solver.kind}  first solve (incl. prep) "
+          f"{prep_s:.2f}s")
+
+    for i in range(args.repeats):
+        b = rng.standard_normal((n, args.n_rhs)).astype(np.float32)
+        t0 = time.time()
+        x = np.asarray(op.solve(b))
+        dt = time.time() - t0
+        res = np.abs(np.asarray(op.matmul(x)) - b).max()
+        print(f"solve {i}: {dt * 1e3:7.1f} ms wall   max residual {res:.2e}")
+
+
+if __name__ == "__main__":
+    main()
