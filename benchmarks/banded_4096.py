@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--n-rhs", type=int, default=8)
     ap.add_argument("--i1", type=int, default=5)
     ap.add_argument("--i2", type=int, default=55)
+    ap.add_argument("--synthetic", type=str, default="",
+                    help="'m,nb' — generate SPD block-tridiagonal blocks on "
+                         "device (transfer-free scale points beyond what the "
+                         "slow host↔device link can upload)")
     args = ap.parse_args()
 
     import jax
@@ -43,20 +47,35 @@ def main():
     )
     from basic_sparse_matrix_tpu.utils.config import matmul_precision
 
-    a = lap2d_csr(args.k)
-    perm = rcm_permutation(a)
-    ap_ = permute_symmetric(a, perm)
-    bw = bandwidth(ap_)
-    nb = banded.block_size_for(bw, ap_.rows)
+    if args.synthetic:
+        m, nb = (int(x) for x in args.synthetic.split(","))
 
-    t0 = time.time()
-    D, E = banded.band_blocks(ap_, nb)
-    build_s = time.time() - t0
-    D, E = jnp.asarray(D), jnp.asarray(E)
-    rec = {
-        "n": ap_.rows, "bandwidth": bw, "nb": nb, "m": int(D.shape[0]),
-        "block_build_s": round(build_s, 3),
-    }
+        @jax.jit
+        def make(key):
+            kd, ke = jax.random.split(key)
+            d = jax.random.normal(kd, (m, nb, nb), jnp.float32) * 0.3
+            d = d + jnp.swapaxes(d, 1, 2) + 4.0 * nb * jnp.eye(nb)
+            e = jax.random.normal(ke, (m - 1, nb, nb), jnp.float32) * 0.3
+            return d, e
+
+        D, E = jax.block_until_ready(make(jax.random.PRNGKey(0)))
+        rec = {"n": m * nb, "bandwidth": nb, "nb": nb, "m": m,
+               "synthetic": True}
+    else:
+        a = lap2d_csr(args.k)
+        perm = rcm_permutation(a)
+        ap_ = permute_symmetric(a, perm)
+        bw = bandwidth(ap_)
+        nb = banded.block_size_for(bw, ap_.rows)
+
+        t0 = time.time()
+        D, E = banded.band_blocks(ap_, nb)
+        build_s = time.time() - t0
+        D, E = jnp.asarray(D), jnp.asarray(E)
+        rec = {
+            "n": ap_.rows, "bandwidth": bw, "nb": nb, "m": int(D.shape[0]),
+            "block_build_s": round(build_s, 3),
+        }
 
     prec = matmul_precision()
 

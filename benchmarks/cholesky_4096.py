@@ -40,9 +40,36 @@ def lap2d_csr(k):
         np.asarray(vals, np.float32))
 
 
+def lap3d_csr(k):
+    """k×k×k 7-point stencil, n = k³ — the general-path workload (its
+    bandwidth ~k² exceeds banded_max_block, so the ladder lands on the
+    supernodal/scatter factorizations)."""
+    import numpy as np
+
+    from basic_sparse_matrix_tpu import CSR
+
+    n = k ** 3
+    ii, jj, ll = np.meshgrid(np.arange(k), np.arange(k), np.arange(k),
+                             indexing="ij")
+    rid = ((ii * k + jj) * k + ll).ravel()
+    rows, cols, vals = [rid], [rid], [np.full(n, 6.0, np.float32)]
+    for d in ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1),
+              (0, 0, -1)):
+        i2, j2, l2 = ii + d[0], jj + d[1], ll + d[2]
+        ok = ((0 <= i2) & (i2 < k) & (0 <= j2) & (j2 < k)
+              & (0 <= l2) & (l2 < k)).ravel()
+        rows.append(rid[ok])
+        cols.append(((i2 * k + j2) * k + l2).ravel()[ok])
+        vals.append(np.full(int(ok.sum()), -1.0, np.float32))
+    return CSR.from_coo_arrays((n, n), np.concatenate(rows),
+                               np.concatenate(cols), np.concatenate(vals))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=64)
+    ap.add_argument("--stencil", type=str, default="2d",
+                    choices=("2d", "3d"))
     ap.add_argument("--relax-rcm", type=int, default=8)
     ap.add_argument("--relax-nd", type=int, default=32)
     ap.add_argument("--i1", type=int, default=2)
@@ -61,7 +88,7 @@ def main():
         rcm_permutation,
     )
 
-    a = lap2d_csr(args.k)
+    a = (lap2d_csr if args.stencil == "2d" else lap3d_csr)(args.k)
     results = {}
     for name in args.orderings.split(","):
         perm = (rcm_permutation if name == "rcm" else nd_permutation)(a)

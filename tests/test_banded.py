@@ -207,3 +207,42 @@ class TestDispatch:
 def _random_dense_spd(rng, n):
     m = rng.standard_normal((n, n)).astype(np.float32)
     return m @ m.T + n * np.eye(n, dtype=np.float32)
+
+
+def _laplacian_3d(k):
+    n = k ** 3
+    a = np.zeros((n, n), dtype=np.float32)
+    idx = lambda i, j, l: (i * k + j) * k + l  # noqa: E731
+    for i in range(k):
+        for j in range(k):
+            for l in range(k):
+                r = idx(i, j, l)
+                a[r, r] = 6.0
+                for d in ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                          (0, 0, 1), (0, 0, -1)):
+                    ii, jj, ll = i + d[0], j + d[1], l + d[2]
+                    if 0 <= ii < k and 0 <= jj < k and 0 <= ll < k:
+                        a[r, idx(ii, jj, ll)] = -1.0
+    return a
+
+
+class TestLadder3D:
+    def test_solve_sparse_3d_every_rung(self):
+        """3D Laplacian through the full factorization ladder: banded
+        (default config), then banded disabled (supernodal/scatter) — all
+        must match the dense oracle."""
+        dense = _laplacian_3d(6)  # n=216, bandwidth 36 after natural order
+        a = CSR.from_dense(dense)
+        rng = np.random.default_rng(17)
+        b = rng.standard_normal((216, 2)).astype(np.float32)
+        oracle = np.linalg.solve(dense, b)
+        old = get_config()
+        try:
+            set_config(Config(**{**old.__dict__, "banded_min_steps": 2}))
+            x_banded = np.asarray(solve_sparse(a, b))
+            np.testing.assert_allclose(x_banded, oracle, rtol=2e-3, atol=2e-3)
+            set_config(Config(**{**old.__dict__, "banded_max_block": 0}))
+            x_level = np.asarray(solve_sparse(a, b))
+            np.testing.assert_allclose(x_level, oracle, rtol=2e-3, atol=2e-3)
+        finally:
+            set_config(old)
