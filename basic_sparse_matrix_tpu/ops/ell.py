@@ -95,8 +95,9 @@ def _spmm_ell_unrolled(ell: ELL, b: jax.Array) -> jax.Array:
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _spmm_ell_barriered(ell: ELL, b: jax.Array, group: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _spmm_ell_barriered(ell: ELL, b: jax.Array, group: int,
+                        bf16_gather: bool = False) -> jax.Array:
     """Width-unrolled gather+FMA with an ``optimization_barrier`` between
     groups of ``group`` terms.
 
@@ -106,16 +107,24 @@ def _spmm_ell_barriered(ell: ELL, b: jax.Array, group: int) -> jax.Array:
     wait (they depend on the post-barrier B), bounding live temps to one
     group while keeping the within-group gather→FMA fusion that the
     chunked-einsum fallback lacks. Measured 0.21 vs 0.14 of the gather
-    roofline at the 1M×32×512 BASELINE point (BENCH_RESULTS.md r2)."""
-    bb, out = b, None
+    roofline at the 1M×32×512 BASELINE point (BENCH_RESULTS.md r2).
+
+    ``bf16_gather`` (opt-in, config ``ell_gather_bf16``) gathers B rows in
+    bfloat16 with f32 accumulation — halves gather traffic and temp sizes
+    (0.256 of roofline at 1M×32×512, +23%) at a B-quantisation accuracy
+    cost."""
+    acc_dt = jnp.float32 if bf16_gather else b.dtype
+    bb = b.astype(jnp.bfloat16) if bf16_gather else b
+    out = None
     ngroups = -(-ell.width // group)
     for q in range(ngroups):
         for k in range(q * group, min((q + 1) * group, ell.width)):
-            term = ell.vals[:, k, None].astype(bb.dtype) * bb[ell.cols[:, k]]
+            term = (ell.vals[:, k, None].astype(acc_dt)
+                    * bb[ell.cols[:, k]].astype(acc_dt))
             out = term if out is None else out + term
         if q + 1 < ngroups:
             out, bb = jax.lax.optimization_barrier((out, bb))
-    return out
+    return out.astype(b.dtype)
 
 
 def _chunk_rows(ell: ELL, n_rhs: int) -> int:
@@ -156,9 +165,13 @@ def spmm_ell(ell: ELL, b: jax.Array) -> jax.Array:
     if ell.width <= UNROLL_MAX_WIDTH:
         if temp_bytes <= UNROLL_TEMP_BUDGET_BYTES:
             return _spmm_ell_unrolled(ell, b)
-        group = UNROLL_TEMP_BUDGET_BYTES // max(ell.n_rows * n_rhs * 4, 1)
+        from ..utils.config import get_config
+
+        bf16 = bool(get_config().ell_gather_bf16)
+        per_term = ell.n_rows * n_rhs * (2 if bf16 else 4)
+        group = UNROLL_TEMP_BUDGET_BYTES // max(per_term, 1)
         if group >= 2:
-            return _spmm_ell_barriered(ell, b, int(group))
+            return _spmm_ell_barriered(ell, b, int(group), bf16)
     chunk = _chunk_rows(ell, n_rhs)
     if chunk >= ell.n_rows:
         return _spmm_ell_direct(ell, b)

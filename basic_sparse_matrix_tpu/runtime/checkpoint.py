@@ -37,6 +37,26 @@ def load_csr(path: str) -> CSR:
         )
 
 
+def save_banded(path: str, fac) -> None:
+    """Persist a :class:`models.banded.BandedFactor` (block factor)."""
+    import jax
+
+    np.savez_compressed(
+        path, L=np.asarray(jax.device_get(fac.L)),
+        F=np.asarray(jax.device_get(fac.F)), n=fac.n, kind="banded",
+    )
+
+
+def load_banded(path: str):
+    import jax.numpy as jnp
+
+    from ..models.banded import BandedFactor
+
+    with np.load(path) as z:
+        return BandedFactor(L=jnp.asarray(z["L"]), F=jnp.asarray(z["F"]),
+                            n=int(z["n"]))
+
+
 def save_factor_state(path: str, lvals: np.ndarray, level_done: int,
                       meta: Optional[dict] = None) -> None:
     """Persist a partially-completed numeric factorization: the factor value

@@ -28,6 +28,9 @@ class Config:
     dense_dispatch_density: float = 0.005  # densify-SpMM threshold
     dense_dispatch_max_bytes: int = 2 << 30
     ell_max_overhead: float = 4.0   # padded-slots/true-nnz cap for ELL
+    # Opt-in: gather RHS rows in bfloat16 (f32 accumulate) on the barriered
+    # hypersparse path — +23% measured at 1M×32×512, B-quantisation cost.
+    ell_gather_bf16: int = 0
     dense_cholesky_max_n: int = 2048
     dense_cholesky_min_density: float = 0.05
     supernodal_relax: int = 8       # per-panel padding budget (amalgamation)
@@ -35,7 +38,10 @@ class Config:
     # Banded (block-tridiagonal) factorization dispatch: used when the
     # (reordered) half-bandwidth fits a block size <= banded_max_block and
     # the dense band storage stays under banded_max_bytes. 0 disables.
-    banded_max_block: int = 256
+    # Measured on chip (BENCH_RESULTS r2): even nb=1024 blocks factor n=16k
+    # in 8.5 ms — far below the supernodal path at equal n — so the cap is
+    # set by the storage guard in practice, not by block-size economics.
+    banded_max_block: int = 1024
     banded_max_bytes: int = 1 << 30
     banded_min_steps: int = 4       # need >= this many block rows to pay off
     # Numerics.

@@ -150,17 +150,20 @@ def main():
             # overlap temp lifetimes (B is threaded through the barrier, so
             # later gathers depend on it) — bounds live temps to G terms
             # without lax.scan's per-step acc read/write.
-            g = int(name[len("barrier"):])
+            bf16 = name.endswith("_bf16")
+            g = int(name[len("barrier"):-5] if bf16 else name[len("barrier"):])
 
-            def make_barrier(G):
+            def make_barrier(G, bf16):
                 ngroups = -(-per // G)
 
                 def step(operand, carry):
                     cc, vv = operand
-                    bb, out = carry, None
+                    bb = carry.astype(jnp.bfloat16) if bf16 else carry
+                    out = None
                     for q in range(ngroups):
                         for k in range(q * G, min((q + 1) * G, per)):
-                            term = vv[:, k, None] * bb[cc[:, k], :]
+                            term = vv[:, k, None] * bb[cc[:, k], :].astype(
+                                jnp.float32)
                             out = term if out is None else out + term
                         if q + 1 < ngroups:
                             out, bb = jax.lax.optimization_barrier((out, bb))
@@ -168,7 +171,7 @@ def main():
 
                 return step
 
-            step, operand = make_barrier(g), (cols, vals)
+            step, operand = make_barrier(g, bf16), (cols, vals)
         elif name.startswith("scang"):
             # lax.scan over width-groups of G: bounds live temps to G full-
             # row gathers, pays acc read/write per step

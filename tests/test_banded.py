@@ -246,3 +246,39 @@ class TestLadder3D:
             np.testing.assert_allclose(x_level, oracle, rtol=2e-3, atol=2e-3)
         finally:
             set_config(old)
+
+
+def test_banded_factor_checkpoint_roundtrip(tmp_path):
+    from basic_sparse_matrix_tpu.runtime import checkpoint as cp
+
+    rng = np.random.default_rng(23)
+    dense = _banded_spd(rng, 50, 4)
+    fac = banded.factor_banded(CSR.from_dense(dense))
+    p = str(tmp_path / "fac.npz")
+    cp.save_banded(p, fac)
+    fac2 = cp.load_banded(p)
+    b = rng.standard_normal((50, 2)).astype(np.float32)
+    x1 = np.asarray(banded.solve_factored_banded(fac, b))
+    x2 = np.asarray(banded.solve_factored_banded(fac2, b))
+    np.testing.assert_array_equal(x1, x2)
+
+
+def test_banded_vmapped_values():
+    """Batched factorization over value sets sharing one block pattern —
+    the banded analogue of the supernodal vmap tests."""
+    rng = np.random.default_rng(29)
+    nb, m, batch = 8, 5, 3
+    n = nb * m
+    denses = np.stack([_banded_spd(rng, n, 4) for _ in range(batch)])
+    Ds, Es = [], []
+    for d in denses:
+        D, E = banded.band_blocks(CSR.from_dense(d), nb)
+        Ds.append(D), Es.append(E)
+    Ds, Es = np.stack(Ds), np.stack(Es)
+    Lb, Fb = jax.vmap(banded.cholesky_banded_blocks)(
+        np.asarray(Ds, np.float32), np.asarray(Es, np.float32))
+    for i in range(batch):
+        fac = banded.BandedFactor(L=Lb[i], F=Fb[i], n=n)
+        l = np.asarray(banded.assemble_factor_csr(fac).todense())
+        np.testing.assert_allclose(l, np.linalg.cholesky(denses[i]),
+                                   rtol=2e-5, atol=2e-5)

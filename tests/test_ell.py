@@ -132,3 +132,41 @@ def test_spmm_ell_barriered_matches_oracle(monkeypatch):
                         3 * rows * n_rhs * 4)
     out = np.asarray(e.spmm_ell(ellm, jnp.asarray(b)))
     assert np.allclose(out, oracle, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_ell_barriered_bf16_gather():
+    """Opt-in bf16-gather variant: matches the oracle at quantisation
+    tolerance, and the dispatch honours config ell_gather_bf16."""
+    import jax.numpy as jnp
+
+    from basic_sparse_matrix_tpu.ops import ell as e
+    from basic_sparse_matrix_tpu.utils.config import (
+        Config,
+        get_config,
+        set_config,
+    )
+
+    rng = np.random.default_rng(13)
+    rows, width, n_rhs = 64, 6, 8
+    cols = rng.integers(0, rows, (rows, width)).astype(np.int32)
+    vals = rng.standard_normal((rows, width)).astype(np.float32)
+    b = rng.standard_normal((rows, n_rhs)).astype(np.float32)
+    ellm = e.ELL(cols=jnp.asarray(cols), vals=jnp.asarray(vals), n_cols=rows)
+    dense = np.zeros((rows, rows), np.float32)
+    for r in range(rows):
+        for k in range(width):
+            dense[r, cols[r, k]] += vals[r, k]
+    oracle = dense @ b
+    out = np.asarray(e._spmm_ell_barriered(ellm, jnp.asarray(b), 2, True))
+    assert out.dtype == np.float32
+    assert np.allclose(out, oracle, rtol=2e-2, atol=2e-2)
+    old = get_config()
+    set_config(Config(**{**old.__dict__, "ell_gather_bf16": 1}))
+    try:
+        budget = e.UNROLL_TEMP_BUDGET_BYTES
+        e.UNROLL_TEMP_BUDGET_BYTES = 2 * rows * n_rhs * 4
+        out2 = np.asarray(e.spmm_ell(ellm, jnp.asarray(b)))
+        assert np.allclose(out2, oracle, rtol=2e-2, atol=2e-2)
+    finally:
+        e.UNROLL_TEMP_BUDGET_BYTES = budget
+        set_config(old)
