@@ -89,8 +89,14 @@ class DirectSolver:
         self._l = self._fwd = self._bwd = None
         nb = _bd.banded_block_choice(a)
         if nb is not None:
-            self.kind = "banded"
-            self._banded = _bd.factor_banded(a, nb)
+            if get_config().banded_solver == "bcr":
+                from . import bcr as _bcr
+
+                self.kind = "banded-bcr"
+                self._banded = _bcr.prepare_bcr(a, nb)
+            else:
+                self.kind = "banded"
+                self._banded = _bd.factor_banded(a, nb)
             return
         from . import supernodal as _sn
         from .sparse_cholesky import cholesky_sparse
@@ -127,7 +133,10 @@ class DirectSolver:
         if self.perm is not None:
             rhs = apply_perm(rhs, self.perm)
         if self._banded is not None:
-            x = _bd.solve_factored_banded(self._banded, rhs)
+            if self.kind == "banded-bcr":
+                x = self._banded.solve(rhs)
+            else:
+                x = _bd.solve_factored_banded(self._banded, rhs)
         else:
             y = solve_triangular_sparse(self._l, rhs, self._fwd)
             x = solve_triangular_sparse(self._l, y, self._bwd, lower=False)

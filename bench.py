@@ -267,6 +267,26 @@ def main():
     sdt = measure_loop(make_loop(solve_step), (L4, F4), b4,
                        i1=20, i2=220, reps=2)
 
+    # BCR (block cyclic reduction) — the shipping banded backend
+    # (config banded_solver=bcr): O(log m) batched stages.
+    from basic_sparse_matrix_tpu.models import bcr as _bcr
+
+    bcr_fac = _bcr.factor_bcr(D4, E4)
+
+    def bcr_solve_step(operand, carry):
+        f, d, e = operand
+        return _bcr._solve_refined(f, d, e, carry)  # shipping path (1 IR)
+
+    bsdt = measure_loop(make_loop(bcr_solve_step), (bcr_fac, D4, E4), b4,
+                        i1=20, i2=220, reps=2)
+
+    def bcr_total_step(de, carry):
+        d, e = de
+        return _bcr._solve_refined(_bcr.factor_bcr(d, e), d, e, carry)
+
+    btdt = measure_loop(make_loop(bcr_total_step), (D4, E4), b4,
+                        i1=5, i2=55, reps=2)
+
     print(json.dumps({
         "metric": "spmm_sd_mul_elements_per_s",
         "value": float(f"{elements_per_s:.4g}"),
@@ -282,6 +302,8 @@ def main():
         "solve": {
             "banded_factor_4096_ms": float(f"{fdt * 1e3:.4g}"),
             "banded_solve_4096_ms": float(f"{sdt * 1e3:.4g}"),
+            "bcr_factor_4096_ms": float(f"{(btdt - bsdt) * 1e3:.4g}"),
+            "bcr_solve_4096_ms": float(f"{bsdt * 1e3:.4g}"),
         },
     }))
 

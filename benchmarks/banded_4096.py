@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--n-rhs", type=int, default=8)
     ap.add_argument("--i1", type=int, default=5)
     ap.add_argument("--i2", type=int, default=55)
+    ap.add_argument("--bcr", action="store_true",
+                    help="also time block-cyclic-reduction factor/solve on "
+                         "the same blocks")
     ap.add_argument("--synthetic", type=str, default="",
                     help="'m,nb' — generate SPD block-tridiagonal blocks on "
                          "device (transfer-free scale points beyond what the "
@@ -100,6 +103,42 @@ def main():
     dt2 = measure_loop(loop, (L, F), b, i1=args.i1 * 4, i2=args.i2 * 4,
                        reps=2)
     rec["solve_ms"] = round(dt2 * 1e3, 3)
+
+    if args.bcr:
+        from basic_sparse_matrix_tpu.models import bcr
+
+        fac = bcr.factor_bcr(D, E)
+        bp = b
+        if fac.m_padded != int(D.shape[0]):
+            bp = jnp.concatenate(
+                [b, jnp.zeros((fac.m_padded - int(D.shape[0]),) + b.shape[1:],
+                              b.dtype)], axis=0)
+
+        def bcr_solve_step(f, carry):
+            return bcr.solve_bcr(f, carry)
+
+        dt3 = measure_loop(make_loop(bcr_solve_step), fac, bp,
+                           i1=args.i1 * 4, i2=args.i2 * 4, reps=2)
+        rec["bcr_solve_ms"] = round(dt3 * 1e3, 3)
+
+        Dp, Ep = bcr._pad_pow2(D, E)
+
+        def bcr_refined_step(operand, carry):
+            f, d, e = operand
+            return bcr._solve_refined(f, d, e, carry)
+
+        dt3r = measure_loop(make_loop(bcr_refined_step), (fac, Dp, Ep), bp,
+                            i1=args.i1 * 4, i2=args.i2 * 4, reps=2)
+        rec["bcr_solve_refined_ms"] = round(dt3r * 1e3, 3)
+
+        def bcr_total_step(de, carry):
+            d, e = de
+            return bcr.solve_bcr(bcr.factor_bcr(d, e), carry)
+
+        dt4 = measure_loop(make_loop(bcr_total_step), (D, E), bp,
+                           i1=args.i1, i2=args.i2, reps=2)
+        rec["bcr_factor_ms"] = round((dt4 - dt3) * 1e3, 3)
+
     rec["backend"] = jax.default_backend()
     print(json.dumps({"metric": "banded_4096", **rec}))
 

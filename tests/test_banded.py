@@ -147,8 +147,10 @@ class TestDispatch:
 
     def test_solve_sparse_routes_banded(self, monkeypatch):
         # shrink thresholds so the 12x12-grid Laplacian takes the banded path
+        # (scan backend here so the factor_banded spy sees it; the default
+        # BCR backend's dispatch is covered in test_bcr.py)
         old = get_config()
-        set_config(self._with_cfg(banded_min_steps=2))
+        set_config(self._with_cfg(banded_min_steps=2, banded_solver="scan"))
         try:
             called = {}
             orig = banded.factor_banded
