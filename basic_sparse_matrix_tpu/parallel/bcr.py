@@ -84,7 +84,11 @@ def bcr_solve_sharded(D: jax.Array, E: jax.Array, b: jax.Array,
         eg = jax.lax.all_gather(el, ROWS, tiled=True)
         bg = jax.lax.all_gather(bl, ROWS, tiled=True)
         fac = _bcr.factor_bcr(dg, eg)
-        xg = _bcr.solve_bcr(fac, bg)            # (ndev, nb, k), replicated
+        if fac.m_padded != int(bg.shape[0]):    # non-power-of-two ndev
+            pad = jnp.zeros((fac.m_padded - int(bg.shape[0]),)
+                            + bg.shape[1:], bg.dtype)
+            bg = jnp.concatenate([bg, pad], axis=0)
+        xg = _bcr.solve_bcr(fac, bg)            # replicated survivor blocks
         me = jax.lax.axis_index(ROWS)
         x = jax.lax.dynamic_slice_in_dim(xg, me, 1)
         # ---- local back-substitution with the opposite boundary ----

@@ -56,3 +56,16 @@ def test_sharded_bcr_1d_rhs():
     assert x.shape == (128,)
     np.testing.assert_allclose(x, np.linalg.solve(dense, np.ones(128)),
                                rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("ndev", [3, 6])
+def test_sharded_bcr_non_pow2_devices(ndev):
+    # survivor-block count isn't a power of two -> the gathered tail must
+    # pad the RHS to the gathered factor's padded size
+    mesh = row_mesh(ndev)
+    rng = np.random.default_rng(31 + ndev)
+    dense = _banded_spd(rng, 96, 4)
+    b = rng.standard_normal((96, 2)).astype(np.float32)
+    x = bcr_solve_sharded_csr(CSR.from_dense(dense), b, mesh, 8)
+    np.testing.assert_allclose(x, np.linalg.solve(dense, b),
+                               rtol=3e-4, atol=3e-4)
