@@ -37,6 +37,14 @@ from ..ops.csr import CSR
 from ..runtime import symbolic
 from ..utils.errors import NonSquareMatrix, check
 
+# Max update-table buckets per fan-in level (see the bucketing comment in
+# analyze_supernodal): more buckets bound padding tighter but add dispatch
+# steps; 3 keeps ND separator levels from inflating leaf-update tables.
+# Levels whose single-stack tables are under _BUCKET_MIN_VOLUME entries (or
+# within 2x of the bucketed volume) are never split.
+_MAX_BUCKETS = 3
+_BUCKET_MIN_VOLUME = 1 << 20
+
 
 @dataclasses.dataclass(frozen=True)
 class SupernodalSchedule:
@@ -174,9 +182,59 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
             s = int(tgt[g0])
             updates[int(slevel[s])].append((d, int(g0), int(g1), s))
 
-    upd_ga, upd_gb, upd_sc = [], [], []
+    # ---- bucket each level's updates by shape class (padding bound) ----
+    # Under ND orderings a level mixes many leaf updates with a few
+    # separator updates 10-100x their size; one padded (U, maxI, maxJ, W)
+    # stack then charges every small update the big updates' dims — in
+    # table memory, upload bytes, AND einsum flops (padding multiplies
+    # real zeros). Bucket updates by the pow4 class of their I-dim into at
+    # most _MAX_BUCKETS stacks per level; every bucket except the one
+    # carrying the level's panel finalisation becomes an update-only
+    # pseudo-level (dummy 1x1 panel tables aimed at the scratch slot, which
+    # the numeric step re-zeroes anyway).
+    def _upd_dims(up):
+        d, g0, g1, _ = up
+        last = int(c1[d]) - 1
+        nrd = int(col_ptr[last + 1] - col_ptr[last] - 1)
+        return nrd - g0, g1 - g0, int(w_of[d])
+
+    def _stack_volume(ups):
+        if not ups:
+            return 0
+        dims = [_upd_dims(up) for up in ups]
+        mi = max(d[0] for d in dims)
+        mj = max(d[1] for d in dims)
+        mw = max(d[2] for d in dims)
+        return len(ups) * (mi * mw + mj * mw + mi * mj)
+
+    entries: List[Tuple[list, int]] = []   # (updates, panel level | -1)
     for lv in range(nlev):
         ups = updates[lv]
+        buckets: dict = {}
+        for up in ups:
+            i_dim = max(_upd_dims(up)[0], 1)
+            cls = 0
+            while (1 << (2 * cls)) < i_dim:   # classes at 1, 4, 16, 64, …
+                cls += 1
+            buckets.setdefault(cls, []).append(up)
+        classes = sorted(buckets)
+        while len(classes) > _MAX_BUCKETS:    # merge the two smallest
+            buckets[classes[1]] = buckets.pop(classes[0]) + buckets[classes[1]]
+            classes = sorted(buckets)
+        # split only when the single stack genuinely over-pads: bucketing a
+        # homogeneous level just fragments the same-shape groups (RCM
+        # chains measured 233 → 1075 groups, a compile-time regression)
+        v1 = _stack_volume(ups)
+        v2 = sum(_stack_volume(buckets[c]) for c in classes)
+        if len(classes) <= 1 or v1 <= 2 * v2 or v1 < _BUCKET_MIN_VOLUME:
+            entries.append((ups, lv))
+        else:
+            for ci, cls in enumerate(classes):
+                entries.append((buckets[cls],
+                                lv if ci == len(classes) - 1 else -1))
+
+    upd_ga, upd_gb, upd_sc = [], [], []
+    for ups, _panel_lv in entries:
         U = max(len(ups), 1)
         maxI = maxJ = maxWl = 1
         for d, g0, g1, s in ups:
@@ -222,7 +280,13 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
 
     # ---------------- panel tables (affine positions) ----------------
     top_pos, below_pos, top_valid = [], [], []
-    for lv in range(nlev):
+    for _ups, lv in entries:
+        if lv == -1:
+            # update-only pseudo-level: dummy panels into the scratch slot
+            top_pos.append(np.full((1, 1, 1), scratch, dtype=np.int32))
+            below_pos.append(np.full((1, 1, 1), scratch, dtype=np.int32))
+            top_valid.append(np.zeros((1, 1), dtype=bool))
+            continue
         sns = np.nonzero(slevel == lv)[0]
         S = max(sns.size, 1)
         Wl = max((int(w_of[s]) for s in sns), default=1)
@@ -255,10 +319,11 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
     # chain-shaped schedules compile O(#groups), not O(#levels).
     per_level = [upd_ga, upd_gb, upd_sc, top_pos, below_pos, top_valid]
     grouped = [[] for _ in per_level]
+    nent = len(entries)
     lv = 0
-    while lv < nlev:
+    while lv < nent:
         j = lv + 1
-        while j < nlev and all(t[j].shape == t[lv].shape
+        while j < nent and all(t[j].shape == t[lv].shape
                                for t in per_level):
             j += 1
         for gl, t in zip(grouped, per_level):
