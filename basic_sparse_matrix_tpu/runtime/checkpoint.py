@@ -38,9 +38,23 @@ def load_csr(path: str) -> CSR:
 
 
 def save_banded(path: str, fac) -> None:
-    """Persist a :class:`models.banded.BandedFactor` (block factor)."""
+    """Persist a banded direct-solve factor: a
+    :class:`models.banded.BandedFactor` (scan backend) is saved as its L/F
+    blocks; a :class:`models.bcr.BCRSolver` (the default ``bcr`` backend) is
+    saved as its D/E operand blocks — the elimination state is a tuple of
+    per-level stacks, so persistence stores the blocks and re-runs the
+    (sub-millisecond) ``factor_bcr`` on load."""
     import jax
 
+    from ..models.bcr import BCRSolver
+
+    if isinstance(fac, BCRSolver):
+        np.savez_compressed(
+            path, D=np.asarray(jax.device_get(fac.D)),
+            E=np.asarray(jax.device_get(fac.E)), n=fac.n, nb=fac.nb,
+            kind="bcr-blocks",
+        )
+        return
     np.savez_compressed(
         path, L=np.asarray(jax.device_get(fac.L)),
         F=np.asarray(jax.device_get(fac.F)), n=fac.n, kind="banded",
@@ -53,8 +67,73 @@ def load_banded(path: str):
     from ..models.banded import BandedFactor
 
     with np.load(path) as z:
+        if "kind" in z and str(z["kind"]) == "bcr-blocks":
+            from ..models.bcr import BCRSolver, factor_bcr
+
+            D, E = jnp.asarray(z["D"]), jnp.asarray(z["E"])
+            return BCRSolver(fac=factor_bcr(D, E), D=D, E=E,
+                             n=int(z["n"]), nb=int(z["nb"]))
         return BandedFactor(L=jnp.asarray(z["L"]), F=jnp.asarray(z["F"]),
                             n=int(z["n"]))
+
+
+def save_direct(path: str, solver) -> None:
+    """Persist a prepared :class:`models.solve.DirectSolver` INCLUDING its
+    internal fill-reducing permutation (the banded factor alone lives in
+    permuted space — reloading it without ``perm`` solves the wrong
+    system). Banded backends only; the supernodal/scatter schedules are
+    cheap to rebuild via ``prepare_direct`` and are not serialised."""
+    import jax
+
+    from ..models.bcr import BCRSolver
+
+    perm = (np.asarray(solver.perm) if solver.perm is not None
+            else np.empty(0, dtype=np.int64))
+    if solver.kind == "banded-bcr":
+        f = solver._banded
+        np.savez_compressed(
+            path, perm=perm, n=solver.n, nb=f.nb, kind="direct-bcr",
+            D=np.asarray(jax.device_get(f.D)),
+            E=np.asarray(jax.device_get(f.E)),
+        )
+    elif solver.kind == "banded":
+        f = solver._banded
+        np.savez_compressed(
+            path, perm=perm, n=solver.n, kind="direct-banded",
+            L=np.asarray(jax.device_get(f.L)),
+            F=np.asarray(jax.device_get(f.F)),
+        )
+    else:
+        raise ValueError(
+            f"save_direct supports the banded backends, not {solver.kind!r};"
+            " rebuild via prepare_direct instead")
+
+
+def load_direct(path: str):
+    """Reload a :func:`save_direct` checkpoint as a ready
+    :class:`models.solve.DirectSolver`."""
+    import jax.numpy as jnp
+
+    from ..models.banded import BandedFactor
+    from ..models.bcr import BCRSolver, factor_bcr
+    from ..models.solve import DirectSolver
+
+    with np.load(path) as z:
+        s = DirectSolver.__new__(DirectSolver)
+        s.n = int(z["n"])
+        perm = z["perm"]
+        s.perm = perm if perm.size else None
+        s._l = s._fwd = s._bwd = None
+        if str(z["kind"]) == "direct-bcr":
+            D, E = jnp.asarray(z["D"]), jnp.asarray(z["E"])
+            s.kind = "banded-bcr"
+            s._banded = BCRSolver(fac=factor_bcr(D, E), D=D, E=E,
+                                  n=s.n, nb=int(z["nb"]))
+        else:
+            s.kind = "banded"
+            s._banded = BandedFactor(L=jnp.asarray(z["L"]),
+                                     F=jnp.asarray(z["F"]), n=s.n)
+        return s
 
 
 def save_factor_state(path: str, lvals: np.ndarray, level_done: int,

@@ -219,36 +219,29 @@ def main():
     adt = measure_loop(make_loop(add_step), (sa,), sb.values,
                        i1=5, i2=45, reps=2)
 
-    # ---- direct-solve sub-metric: banded factor+solve at n=4096 ----
-    # The flagship solve path (BENCH_RESULTS.md r2: 29x the supernodal
-    # numeric phase): RCM-ordered 64x64 2D Laplacian is block-tridiagonal
-    # at nb=64; one lax.scan factorization + block-bidiagonal solves.
+    # ---- direct-solve sub-metrics: banded scan + BCR at the n=4096 shape -
+    # The flagship solve path (BENCH_RESULTS.md r2): the RCM-ordered 64x64
+    # 2D Laplacian is block-tridiagonal at nb=64, m=64. SPD blocks of that
+    # exact shape are generated ON DEVICE (values don't change the timing,
+    # shapes do; host-built blocks would ride the slow transport, which the
+    # bench contract forbids). E is carried at length m with a zero last
+    # coupling — the BCR convention; the scan backend takes E[:-1].
     from basic_sparse_matrix_tpu.models import banded as _banded
-    from basic_sparse_matrix_tpu.ops.reorder import (
-        bandwidth as _bandwidth,
-        permute_symmetric as _psym,
-        rcm_permutation as _rcm,
-    )
+    from basic_sparse_matrix_tpu.models import bcr as _bcr
     from basic_sparse_matrix_tpu.utils.config import matmul_precision
 
-    gk = 64
-    gn = gk * gk
-    ii, jj = _np.meshgrid(_np.arange(gk), _np.arange(gk), indexing="ij")
-    rid = (ii * gk + jj).ravel()
-    ls_rows, ls_cols, ls_vals = [rid], [rid], [_np.full(gn, 4.0, _np.float32)]
-    for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-        ok = ((0 <= ii + di) & (ii + di < gk)
-              & (0 <= jj + dj) & (jj + dj < gk)).ravel()
-        ls_rows.append(rid[ok])
-        ls_cols.append(((ii + di) * gk + (jj + dj)).ravel()[ok])
-        ls_vals.append(_np.full(ok.sum(), -1.0, _np.float32))
-    a4 = CSR.from_coo_arrays(
-        (gn, gn), _np.concatenate(ls_rows), _np.concatenate(ls_cols),
-        _np.concatenate(ls_vals))
-    ap4 = _psym(a4, _rcm(a4))
-    nb4 = _banded.block_size_for(_bandwidth(ap4), gn)
-    D4, E4 = _banded.band_blocks(ap4, nb4)
-    D4, E4 = jnp.asarray(D4), jnp.asarray(E4)
+    gm = nb4 = 64
+
+    @jax.jit
+    def make_blocks(key):
+        kd, ke = jax.random.split(key)
+        d = jax.random.normal(kd, (gm, nb4, nb4), jnp.float32) * 0.3
+        d = d + jnp.swapaxes(d, 1, 2) + 4.0 * nb4 * jnp.eye(nb4)
+        e = jax.random.normal(ke, (gm, nb4, nb4), jnp.float32) * 0.3
+        return d, e.at[-1].set(0.0)
+
+    D4, E4full = jax.block_until_ready(make_blocks(jax.random.PRNGKey(3)))
+    E4 = E4full[:-1]
     prec = matmul_precision()
 
     def factor_step(e, d):
@@ -259,7 +252,7 @@ def main():
 
     L4, F4 = _banded.cholesky_banded_blocks(D4, E4)
     b4 = jax.random.normal(jax.random.PRNGKey(2),
-                           (int(D4.shape[0]), nb4, 8), jnp.float32)
+                           (gm, nb4, 8), jnp.float32)
 
     def solve_step(lf, carry):
         return _banded.solve_banded_blocks(lf[0], lf[1], carry)
@@ -268,23 +261,22 @@ def main():
                        i1=20, i2=220, reps=2)
 
     # BCR (block cyclic reduction) — the shipping banded backend
-    # (config banded_solver=bcr): O(log m) batched stages.
-    from basic_sparse_matrix_tpu.models import bcr as _bcr
-
-    bcr_fac = _bcr.factor_bcr(D4, E4)
+    # (config banded_solver=bcr): O(log m) batched stages, timed on the
+    # refined shipping path (needs the full-length E).
+    bcr_fac = _bcr.factor_bcr(D4, E4full)
 
     def bcr_solve_step(operand, carry):
         f, d, e = operand
         return _bcr._solve_refined(f, d, e, carry)  # shipping path (1 IR)
 
-    bsdt = measure_loop(make_loop(bcr_solve_step), (bcr_fac, D4, E4), b4,
-                        i1=20, i2=220, reps=2)
+    bsdt = measure_loop(make_loop(bcr_solve_step), (bcr_fac, D4, E4full),
+                        b4, i1=20, i2=220, reps=2)
 
     def bcr_total_step(de, carry):
         d, e = de
         return _bcr._solve_refined(_bcr.factor_bcr(d, e), d, e, carry)
 
-    btdt = measure_loop(make_loop(bcr_total_step), (D4, E4), b4,
+    btdt = measure_loop(make_loop(bcr_total_step), (D4, E4full), b4,
                         i1=5, i2=55, reps=2)
 
     print(json.dumps({

@@ -94,3 +94,62 @@ def test_direct_solver_dispatches_bcr():
                                    rtol=3e-4, atol=3e-4)
     finally:
         set_config(old)
+
+
+def test_bcr_solver_checkpoint_roundtrip(tmp_path):
+    from basic_sparse_matrix_tpu.runtime import checkpoint as cp
+
+    rng = np.random.default_rng(41)
+    dense = _banded_spd(rng, 72, 4)
+    solver = bcr.prepare_bcr(CSR.from_dense(dense), 8)
+    p = str(tmp_path / "bcrfac.npz")
+    cp.save_banded(p, solver)
+    solver2 = cp.load_banded(p)
+    b = rng.standard_normal((72, 2)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(solver.solve(b)),
+                                  np.asarray(solver2.solve(b)))
+
+
+def test_direct_solver_checkpoint_includes_permutation(tmp_path):
+    # DirectSolver's banded factor lives in PERMUTED space; save_direct must
+    # carry the permutation so a reload solves the original system
+    from basic_sparse_matrix_tpu.models.solve import prepare_direct
+    from basic_sparse_matrix_tpu.runtime import checkpoint as cp
+    from basic_sparse_matrix_tpu.utils.config import (
+        Config,
+        get_config,
+        set_config,
+    )
+
+    rng = np.random.default_rng(43)
+    # a 2D Laplacian so RCM actually permutes
+    k = 10
+    n = k * k
+    dense = np.zeros((n, n), np.float32)
+    for i in range(k):
+        for j in range(k):
+            r = i * k + j
+            dense[r, r] = 4.0
+            for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < k and 0 <= jj < k:
+                    dense[r, ii * k + jj] = -1.0
+    b = rng.standard_normal((n, 2)).astype(np.float32)
+    old = get_config()
+    try:
+        set_config(Config(**{**old.__dict__, "banded_min_steps": 2}))
+        for backend in ("bcr", "scan"):
+            set_config(Config(**{**old.__dict__, "banded_min_steps": 2,
+                                 "banded_solver": backend}))
+            s = prepare_direct(CSR.from_dense(dense))
+            assert s.perm is not None
+            p = str(tmp_path / f"direct_{backend}.npz")
+            cp.save_direct(p, s)
+            s2 = cp.load_direct(p)
+            np.testing.assert_allclose(np.asarray(s2.solve(b)),
+                                       np.linalg.solve(dense, b),
+                                       rtol=1e-3, atol=1e-3)
+            np.testing.assert_array_equal(np.asarray(s.solve(b)),
+                                          np.asarray(s2.solve(b)))
+    finally:
+        set_config(old)
