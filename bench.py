@@ -138,7 +138,12 @@ def main():
         # is the only trustworthy completion fence.
         return float(jnp.sum(out[:1, :1]))
 
-    def measure(fn, *args, i1=1000, i2=9000, reps=3):
+    # Wider two-point spread + more repeats than round 1: the fixed
+    # per-execution transport cost jitters by ~ms, which at an 8k-iteration
+    # difference was ±5% run-to-run spread on vs_baseline (0.78-1.08 across
+    # nominally identical runs). 16k iterations and min-of-6 halve it for
+    # ~1 s of extra wall time.
+    def measure(fn, *args, i1=1000, i2=17000, reps=6):
         fence(fn(*args, i1))  # compile both variants + warm the fetch path
         fence(fn(*args, i2))
         t = {}
