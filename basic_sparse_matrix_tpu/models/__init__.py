@@ -2,6 +2,8 @@ from .cholesky import cholesky, cholesky_auto, cholesky_decomp, cholesky_dense
 from .sparse_cholesky import cholesky_sparse
 from .supernodal import cholesky_supernodal
 from .qr import (eigen_values, eigen_values_dense, eigen_values_sym, qr_decomp, qr_dense)
+from .lanczos import (LanczosSetup, condition_estimate,
+                      eigen_values_lanczos, extremal_eigen_values)
 from .operator import SparseOperator
 from .pcg import PCGSetup, pcg_solve
 from .solve import (DirectSolver, prepare_direct, solve, solve_auto,
@@ -24,6 +26,10 @@ __all__ = [
     "eigen_values",
     "eigen_values_sym",
     "eigen_values_dense",
+    "eigen_values_lanczos",
+    "extremal_eigen_values",
+    "condition_estimate",
+    "LanczosSetup",
     "solve",
     "solve_dense",
     "solve_sparse",

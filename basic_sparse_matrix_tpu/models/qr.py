@@ -36,7 +36,8 @@ def _check_densify_budget(a: CSR, op: str) -> None:
     check(4 * a.rows * a.cols <= limit, IncorrectDimensions,
           f"{op}: densified operand {a.dims} needs {4 * a.rows * a.cols} "
           f"bytes > dense_dispatch_max_bytes={limit}; this op has no sparse "
-          f"path (raise BSM_DENSE_DISPATCH_MAX_BYTES to override)")
+          f"path (raise BSM_DENSE_DISPATCH_MAX_BYTES to override, or for "
+          f"symmetric eigenvalues use models.lanczos.eigen_values_lanczos)")
 
 
 @jax.jit
