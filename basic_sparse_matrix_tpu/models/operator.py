@@ -31,6 +31,7 @@ class SparseOperator:
     a: CSR
     _direct: Optional[tuple] = None
     _pcg: Optional[object] = None
+    _lanczos: Optional[object] = None
 
     # ------------------------------------------------------------------ #
     def matmul(self, b) -> jax.Array:
@@ -64,3 +65,25 @@ class SparseOperator:
             self._pcg = PCGSetup.build(self.a)
         return pcg_solve(self.a, b, tol=tol, max_iters=max_iters,
                          setup=self._pcg)
+
+    # ------------------------------------------------------------------ #
+    def _ensure_lanczos(self):
+        if self._lanczos is None:
+            from .lanczos import LanczosSetup
+
+            self._lanczos = LanczosSetup.build(self.a)
+        return self._lanczos
+
+    def eigen_values(self, k: int = 32) -> jax.Array:
+        """k Ritz values (ascending; symmetric operand) — Lanczos, no
+        densification; the ELL view is built once and reused."""
+        from .lanczos import eigen_values_lanczos
+
+        return eigen_values_lanczos(self.a, k, setup=self._ensure_lanczos())
+
+    def condition_estimate(self, k: int = 32) -> float:
+        """2-norm condition estimate (SPD operand) — predicts ``solve_cg``
+        iteration counts and refinement needs."""
+        from .lanczos import condition_estimate
+
+        return condition_estimate(self.a, k, setup=self._ensure_lanczos())

@@ -62,3 +62,19 @@ def test_csr_traced_through_jit():
 
     out = np.asarray(f(a, b))
     assert np.allclose(out, 2 * d @ b, rtol=1e-4, atol=1e-4)
+
+
+def test_operator_spectral_methods():
+    import numpy as np
+    from basic_sparse_matrix_tpu import CSR, SparseOperator
+
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(48, 48)).astype(np.float32)
+    spd = (m @ m.T + 48 * np.eye(48)).astype(np.float32)
+    op = SparseOperator(CSR.from_dense(spd))
+    ritz = np.asarray(op.eigen_values(k=48))
+    true = np.linalg.eigvalsh(spd)
+    np.testing.assert_allclose(ritz[-1], true[-1], rtol=1e-3)
+    est = op.condition_estimate(k=48)
+    assert est == __import__("pytest").approx(np.linalg.cond(spd), rel=0.05)
+    assert op._lanczos is not None  # setup memoised
