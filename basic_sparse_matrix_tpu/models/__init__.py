@@ -2,6 +2,7 @@ from .cholesky import cholesky, cholesky_auto, cholesky_decomp, cholesky_dense
 from .sparse_cholesky import cholesky_sparse
 from .supernodal import cholesky_supernodal
 from .qr import (eigen_values, eigen_values_dense, eigen_values_sym, qr_decomp, qr_dense)
+from .chebyshev import chebyshev_solve, spectral_bounds
 from .lanczos import (LanczosSetup, condition_estimate,
                       eigen_values_lanczos, extremal_eigen_values)
 from .operator import SparseOperator
@@ -30,6 +31,8 @@ __all__ = [
     "extremal_eigen_values",
     "condition_estimate",
     "LanczosSetup",
+    "chebyshev_solve",
+    "spectral_bounds",
     "solve",
     "solve_dense",
     "solve_sparse",
