@@ -127,3 +127,49 @@ def test_distributed_supernodal_dense_and_arrow(mesh8):
     assert np.allclose(np.asarray(l.todense()),
                        np.linalg.cholesky(spd.astype(np.float64)),
                        rtol=1e-4, atol=1e-4)
+
+
+def test_block_jacobi_pcg_matches_dense(mesh8):
+    from basic_sparse_matrix_tpu.parallel.pcg import (
+        build_block_jacobi,
+        pcg_solve_sharded,
+    )
+    from basic_sparse_matrix_tpu.parallel.sharded import (
+        put_sharded,
+        shard_csr,
+        unshard_rows,
+    )
+
+    rng = np.random.default_rng(3)
+    a = _lap2d(6)
+    b = rng.standard_normal(a.shape[0]).astype(np.float32)
+    sa = put_sharded(shard_csr(CSR.from_dense(a), 8), mesh8)
+    lfac = build_block_jacobi(sa, mesh8)
+    x = pcg_solve_sharded(sa, jnp.asarray(b), mesh8, iters=60, lfac=lfac)
+    xr = np.asarray(unshard_rows(x, a.shape[0]))
+    ref = np.linalg.solve(a.astype(np.float64), b)
+    assert np.allclose(xr, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_block_jacobi_pcg_beats_plain_cg(mesh8):
+    from basic_sparse_matrix_tpu.parallel.cg import cg_solve_sharded
+    from basic_sparse_matrix_tpu.parallel.pcg import pcg_solve_sharded
+    from basic_sparse_matrix_tpu.parallel.sharded import (
+        put_sharded,
+        shard_csr,
+        unshard_rows,
+    )
+
+    rng = np.random.default_rng(4)
+    a = _lap2d(8)
+    n = a.shape[0]
+    b = rng.standard_normal(n).astype(np.float32)
+    sa = put_sharded(shard_csr(CSR.from_dense(a), 8), mesh8)
+    iters = 10
+    xp = np.asarray(unshard_rows(
+        pcg_solve_sharded(sa, jnp.asarray(b), mesh8, iters=iters), n))
+    xc = np.asarray(unshard_rows(
+        cg_solve_sharded(sa, jnp.asarray(b), mesh8, iters=iters), n))
+    res_p = np.linalg.norm(a @ xp - b)
+    res_c = np.linalg.norm(a @ xc - b)
+    assert res_p < res_c
