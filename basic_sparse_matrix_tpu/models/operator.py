@@ -66,6 +66,15 @@ class SparseOperator:
         return pcg_solve(self.a, b, tol=tol, max_iters=max_iters,
                          setup=self._pcg)
 
+    def solve_chebyshev(self, b, iters: int = 100):
+        """Chebyshev semi-iteration (SPD; reduction-free inner loop).
+        Spectral bounds come from the shared Lanczos setup, built once.
+        Returns (x, final relative residual)."""
+        from .chebyshev import chebyshev_solve
+
+        return chebyshev_solve(self.a, b, iters=iters,
+                               setup=self._ensure_lanczos())
+
     # ------------------------------------------------------------------ #
     def _ensure_lanczos(self):
         if self._lanczos is None:

@@ -78,3 +78,17 @@ def test_operator_spectral_methods():
     est = op.condition_estimate(k=48)
     assert est == __import__("pytest").approx(np.linalg.cond(spd), rel=0.05)
     assert op._lanczos is not None  # setup memoised
+
+
+def test_operator_chebyshev():
+    a_dense = _spd(30, seed=5)
+    op = SparseOperator(CSR.from_dense(a_dense))
+    rng = np.random.default_rng(6)
+    b = rng.standard_normal(30).astype(np.float32)
+    x, res = op.solve_chebyshev(b, iters=200)
+    assert np.allclose(a_dense @ np.asarray(x), b, rtol=1e-3, atol=1e-3)
+    # shares the Lanczos setup with the spectral methods
+    setup = op._lanczos
+    assert setup is not None
+    op.solve_chebyshev(2 * b, iters=50)
+    assert op._lanczos is setup
