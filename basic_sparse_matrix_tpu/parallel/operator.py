@@ -11,8 +11,6 @@ spectral bounds). No reference counterpart (the reference is single-core,
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
