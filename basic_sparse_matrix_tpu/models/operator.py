@@ -40,6 +40,13 @@ class SparseOperator:
     def matvec(self, x) -> jax.Array:
         return mul_vector(self.a, x)
 
+    def matmul_sparse(self, other: CSR) -> CSR:
+        """Sparse×sparse product (dispatching SpGEMM; the planned Gustavson
+        path memoises its symbolic plan on ``self.a`` per RHS pattern)."""
+        from ..ops.spgemm import spgemm
+
+        return spgemm(self.a, other)
+
     __matmul__ = matmul
 
     # ------------------------------------------------------------------ #

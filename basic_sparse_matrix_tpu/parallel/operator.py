@@ -28,11 +28,13 @@ class DistributedOperator:
         if mesh is None:
             mesh = row_mesh(len(jax.devices()))
         self.mesh = mesh
+        self.a = a
         self.rows, self.cols = a.rows, a.cols
         self.sa: ShardedCSR = put_sharded(
             shard_csr(a, mesh.shape[ROWS]), mesh)
         self._lfac = None          # block-Jacobi factors (lazy)
         self._bounds = None        # Chebyshev spectral bounds (lazy)
+        self._spgemm_plans = []    # (weakref(rhs), plans) — last 4 kept
 
     # -- products ---------------------------------------------------------
     def matvec(self, x) -> jax.Array:
@@ -46,6 +48,25 @@ class DistributedOperator:
 
         y = spmm_sharded(self.sa, jnp.asarray(b, jnp.float32), self.mesh)
         return unshard_rows(y, self.rows)
+
+    def matmul_sparse(self, other: CSR) -> CSR:
+        """Distributed SpGEMM against resident row blocks; the per-block
+        symbolic plans are memoised per RHS pattern."""
+        import weakref
+
+        from .spgemm_sparse import plan_spgemm_sharded, spgemm_sharded
+
+        plans = None
+        for ref, p in self._spgemm_plans:
+            if ref() is other:
+                plans = p
+                break
+        if plans is None:
+            plans = plan_spgemm_sharded(self.a, other,
+                                        self.mesh.shape[ROWS])
+            self._spgemm_plans.append((weakref.ref(other), plans))
+            del self._spgemm_plans[:-4]
+        return spgemm_sharded(self.a, other, self.mesh, plans=plans)
 
     # -- solves -----------------------------------------------------------
     def _ensure_block_jacobi(self):

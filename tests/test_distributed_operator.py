@@ -43,3 +43,16 @@ def test_eigen_values(op36):
     ref = np.linalg.eigvalsh(a.astype(np.float64))
     assert np.allclose(ritz[0], ref[0], rtol=1e-3)
     assert np.allclose(ritz[-1], ref[-1], rtol=1e-3)
+
+
+def test_matmul_sparse(op36):
+    a, op = op36
+    rng = np.random.default_rng(9)
+    db = ((rng.random(a.shape) < 0.1)
+          * rng.standard_normal(a.shape)).astype(np.float32)
+    other = CSR.from_dense(db)
+    c = op.matmul_sparse(other)
+    assert np.allclose(np.asarray(c.todense()), a @ db, rtol=1e-4, atol=1e-4)
+    assert len(op._spgemm_plans) == 1
+    op.matmul_sparse(other)  # plan reused
+    assert len(op._spgemm_plans) == 1

@@ -92,3 +92,11 @@ def test_operator_chebyshev():
     assert setup is not None
     op.solve_chebyshev(2 * b, iters=50)
     assert op._lanczos is setup
+
+
+def test_operator_matmul_sparse():
+    a_dense = _spd(24, seed=7)
+    op = SparseOperator(CSR.from_dense(a_dense))
+    c = op.matmul_sparse(CSR.from_dense(a_dense))
+    assert np.allclose(np.asarray(c.todense()), a_dense @ a_dense,
+                       rtol=1e-4, atol=1e-4)
