@@ -174,6 +174,85 @@ def _merge_planned_vals(vals_a, vals_b, plan_gathers, n: int, b_sign: int):
     return za[gather_a] + zb[gather_b]
 
 
+# --- chunked numeric phase (issue-coalesced gathers) ---------------------
+#
+# The two inverse gathers above are SCALAR gathers: one issue per output
+# slot (~2·n issues). On this chip random-gather throughput is issue-bound
+# (PERF_NOTES: 2KB rows gather at the same rate as any ordering), so the
+# numeric phase is limited by issue rate, not bytes. Because each inverse
+# map is MONOTONE over its valid slots, all of an output chunk's w source
+# elements live in at most two aligned w-chunks of the operand — so TWO
+# row-gathers can serve w outputs. The within-row select uses a host-
+# precomputed local index contracted against a one-hot on device (VPU work,
+# no scalar gathers). Issue count drops from 2n to 4n/w per operand pair.
+
+MERGE_CHUNK_W = 32
+
+
+def _build_chunked_map(ga: "np.ndarray", na: int, w: int):
+    import numpy as np
+
+    n = ga.shape[0]
+    nch = -(-max(n, 1) // w)
+    gap = np.full(nch * w, na, dtype=np.int64)
+    gap[:n] = ga
+    gam = gap.reshape(nch, w)
+    valid = gam < na
+    ca = -(-na // w) if na else 0
+    big = np.iinfo(np.int64).max
+    lo = np.where(valid, gam, big).min(axis=1)
+    c0 = np.where(lo == big, ca, lo // w)  # empty chunk → zero-pad chunk
+    local = gam - (c0 * w)[:, None]
+    local = np.where(valid & (local >= 0) & (local < 2 * w), local, 2 * w)
+    return c0.astype(np.int32), local.astype(np.int32)
+
+
+class _ChunkedMergePlan:
+    """Issue-coalesced twin of :class:`_MergePlan`'s numeric maps, built
+    lazily from its inverse gathers (host-side, memoised on the plan)."""
+
+    __slots__ = ("c_a", "l_a", "c_b", "l_b", "w")
+
+    def __init__(self, plan: "_MergePlan", na: int, nb: int,
+                 w: int = MERGE_CHUNK_W):
+        import numpy as np
+
+        ga = np.asarray(jax.device_get(plan.gather_a), dtype=np.int64)
+        gb = np.asarray(jax.device_get(plan.gather_b), dtype=np.int64)
+        ca0, la = _build_chunked_map(ga, na, w)
+        cb0, lb = _build_chunked_map(gb, nb, w)
+        self.c_a, self.l_a = jnp.asarray(ca0), jnp.asarray(la)
+        self.c_b, self.l_b = jnp.asarray(cb0), jnp.asarray(lb)
+        self.w = w
+
+
+def _chunk_pad(vals, w):
+    na = vals.shape[0]
+    ca = -(-na // w) if na else 0
+    pad = (ca + 2) * w - na
+    return jnp.concatenate(
+        [vals, jnp.zeros(pad, vals.dtype)]).reshape(ca + 2, w)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _merge_chunked_vals(vals_a, vals_b, chunk_maps, n: int, b_sign: int,
+                        w: int):
+    c_a, l_a, c_b, l_b = chunk_maps
+    dtype = jnp.result_type(vals_a, vals_b)
+
+    def half(vals, c0, local):
+        z = _chunk_pad(vals.astype(dtype), w)
+        cand = jnp.concatenate([z[c0], z[c0 + 1]], axis=1)  # (nch, 2w)
+        onehot = jax.nn.one_hot(local, 2 * w, dtype=dtype)  # (nch, w, 2w)
+        return jnp.einsum("njt,nt->nj", onehot, cand,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    out = half(vals_a, c_a, l_a)
+    vb = vals_b if b_sign > 0 else -vals_b
+    out = out + half(vb, c_b, l_b)
+    return out.reshape(-1)[:n]
+
+
 def _merge_planned(a: CSR, b: CSR, b_sign: int) -> CSR:
     import weakref
 

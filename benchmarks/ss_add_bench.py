@@ -111,7 +111,23 @@ def main():
         return CSR(indptr=plan.indptr, indices=plan.indices, values=vals,
                    rows=aa.rows, cols=aa.cols)
 
+    # chunked numeric phase: issue-coalesced row-gathers + one-hot select,
+    # one variant per chunk width (plans built outside the timed loop)
+    chunked_fns = {}
+    for w in (16, 32, 64, 128):
+        ch = ew._ChunkedMergePlan(plan, a.stored, b.stored, w=w)
+
+        def chunked_fn(aa, bb, sign, _ch=ch):
+            vals = ew._merge_chunked_vals(
+                aa.values, bb.values,
+                (_ch.c_a, _ch.l_a, _ch.c_b, _ch.l_b), plan.n, sign, _ch.w)
+            return CSR(indptr=plan.indptr, indices=plan.indices, values=vals,
+                       rows=aa.rows, cols=aa.cols)
+
+        chunked_fns[f"chunked{w}"] = chunked_fn
+
     for name, fn in (("planned", planned_fn),
+                     *chunked_fns.items(),
                      ("keyspace", ew._merge_keyspace_jit),
                      ("lexsort", ew._merge_jit)):
         def step(operand, carry):

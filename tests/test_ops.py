@@ -358,3 +358,31 @@ def test_chained_adds_with_padded_intermediate():
     assert np.allclose(np.asarray(out.todense()), ref, atol=1e-5)
     out2 = add(c, inner)  # duplicate coords on the right operand
     assert np.allclose(np.asarray(out2.todense()), ref, atol=1e-5)
+
+
+def test_merge_chunked_matches_planned():
+    # issue-coalesced numeric phase vs the shipping two-gather phase
+    import numpy as np
+
+    from basic_sparse_matrix_tpu.ops import elementwise as ew
+    from basic_sparse_matrix_tpu.ops.csr import CSR
+
+    rng = np.random.default_rng(11)
+    for rows, cols, da, db in ((50, 40, 0.1, 0.07), (97, 13, 0.3, 0.0),
+                               (8, 8, 0.9, 0.9)):
+        A = ((rng.random((rows, cols)) < da)
+             * rng.standard_normal((rows, cols))).astype(np.float32)
+        B = ((rng.random((rows, cols)) < db)
+             * rng.standard_normal((rows, cols))).astype(np.float32)
+        a, b = CSR.from_dense(A), CSR.from_dense(B)
+        if a.stored + b.stored == 0:
+            continue
+        plan = ew._MergePlan(a, b)
+        ref = ew._merge_planned_vals(
+            a.values, b.values, (plan.gather_a, plan.gather_b), plan.n, -1)
+        ch = ew._ChunkedMergePlan(plan, a.stored, b.stored, w=16)
+        got = ew._merge_chunked_vals(
+            a.values, b.values, (ch.c_a, ch.l_a, ch.c_b, ch.l_b),
+            plan.n, -1, ch.w)
+        assert np.allclose(np.asarray(got), np.asarray(ref), atol=0), (
+            rows, cols, da, db)
