@@ -118,7 +118,8 @@ class _MergePlan:
     factorizations use, applied to add/sub. Memoised on the left operand,
     keyed by the right operand's identity (weakref-validated)."""
 
-    __slots__ = ("indptr", "indices", "gather_a", "gather_b", "n")
+    __slots__ = ("indptr", "indices", "gather_a", "gather_b", "n",
+                 "chunked")
 
     def __init__(self, a: CSR, b: CSR):
         import numpy as np
@@ -162,6 +163,7 @@ class _MergePlan:
         self.gather_a = jnp.asarray(ga.astype(np.int32))
         self.gather_b = jnp.asarray(gb.astype(np.int32))
         self.n = n
+        self.chunked = None  # lazy _ChunkedMergePlan (config merge_numeric)
 
 
 @partial(jax.jit, static_argnums=(3, 4))
@@ -269,8 +271,19 @@ def _merge_planned(a: CSR, b: CSR, b_sign: int) -> CSR:
         plan = _MergePlan(a, b)
         plans.append((weakref.ref(b), plan))
         del plans[:-4]  # bound the cache
-    vals = _merge_planned_vals(a.values, b.values,
-                               (plan.gather_a, plan.gather_b), plan.n, b_sign)
+    from ..utils.config import get_config
+
+    if get_config().merge_numeric == "chunked":
+        if plan.chunked is None:
+            plan.chunked = _ChunkedMergePlan(plan, a.stored, b.stored)
+        ch = plan.chunked
+        vals = _merge_chunked_vals(
+            a.values, b.values, (ch.c_a, ch.l_a, ch.c_b, ch.l_b),
+            plan.n, b_sign, ch.w)
+    else:
+        vals = _merge_planned_vals(
+            a.values, b.values, (plan.gather_a, plan.gather_b), plan.n,
+            b_sign)
     return CSR(indptr=plan.indptr, indices=plan.indices, values=vals,
                rows=a.rows, cols=a.cols)
 

@@ -48,6 +48,10 @@ class Config:
     # stages — measured 1.8-2.6x the scan at m=64 and 1.6x at m=512) or
     # "scan" (the sequential block scan).
     banded_solver: str = "bcr"
+    # Planned-merge numeric phase: "planned" (two scalar inverse gathers)
+    # or "chunked" (issue-coalesced row gathers + one-hot select; see
+    # ops.elementwise MERGE_CHUNK_W). Flip after on-chip measurement.
+    merge_numeric: str = "planned"
     # Numerics.
     matmul_precision: str = "highest"  # this env quantizes default matmuls
     solve_dtype: str = "float32"

@@ -386,3 +386,28 @@ def test_merge_chunked_matches_planned():
             plan.n, -1, ch.w)
         assert np.allclose(np.asarray(got), np.asarray(ref), atol=0), (
             rows, cols, da, db)
+
+
+def test_merge_numeric_config_switch(monkeypatch):
+    import numpy as np
+
+    from basic_sparse_matrix_tpu.ops import elementwise as ew
+    from basic_sparse_matrix_tpu.ops.csr import CSR
+    from basic_sparse_matrix_tpu.utils import config as cfgmod
+
+    rng = np.random.default_rng(12)
+    A = ((rng.random((60, 60)) < 0.1)
+         * rng.standard_normal((60, 60))).astype(np.float32)
+    B = ((rng.random((60, 60)) < 0.1)
+         * rng.standard_normal((60, 60))).astype(np.float32)
+    a, b = CSR.from_dense(A), CSR.from_dense(B)
+    ref = np.asarray(ew.add(a, b).todense())
+    import dataclasses
+
+    monkeypatch.setattr(
+        cfgmod, "_config",
+        dataclasses.replace(cfgmod.get_config(), merge_numeric="chunked"))
+    a2 = CSR.from_dense(A)  # fresh plan cache
+    got = np.asarray(ew.add(a2, b).todense())
+    assert np.allclose(got, ref, atol=0)
+    assert np.allclose(got, A + B, rtol=1e-6, atol=1e-6)
