@@ -22,7 +22,9 @@ XLA's static-shape model. We provide:
   by the ACTUAL per-entry row lengths (not ``nnz(A)·max_row(B)``, which
   explodes for skewed B), computes C's exact pattern, and memoises the
   plan; the numeric phase is one gather-multiply-scatter on device. Used
-  when the densified RHS would not fit (large n).
+  when the densified RHS would not fit (large n). Expansions beyond
+  ``EXPANSION_BUDGET`` fall back to contiguous row chunks planned and
+  executed independently (:class:`_SpgemmChunkedPlan`) — no refusal.
 """
 
 from __future__ import annotations
@@ -141,6 +143,11 @@ def _spgemm_bounded_jit(a: CSR, b: CSR, max_b_row: int) -> CSR:
                rows=a.rows, cols=b.cols)
 
 
+class _ExpansionOverBudget(Exception):
+    """Actual Gustavson expansion exceeds EXPANSION_BUDGET — the caller
+    should fall back to the row-chunked plan."""
+
+
 class _SpgemmPlan:
     """Value-independent Gustavson plan for a fixed (pattern_a, pattern_b)
     pair: the exact output pattern of C = A·B plus flat
@@ -150,42 +157,50 @@ class _SpgemmPlan:
     vectorised numpy (no Python per-entry loops)."""
 
     __slots__ = ("indptr", "indices", "dst", "src_a", "src_b", "nnz_c",
-                 "rows", "cols", "expansion")
+                 "rows", "cols", "expansion", "_host_indptr",
+                 "_host_indices")
 
     def __init__(self, a: CSR, b: CSR):
-        import numpy as np
-
         ia, xa, _ = a.numpy()
         ib, xb, _ = b.numpy()
-        ra = np.repeat(np.arange(a.rows, dtype=np.int64), np.diff(ia))
+        self._build(ia, xa, a.rows, ib, xb, b.cols,
+                    budget=EXPANSION_BUDGET)
+
+    def _build(self, ia, xa, a_rows, ib, xb, b_cols, budget=None):
+        import numpy as np
+
+        nnz_a = xa.shape[0]
+        ra = np.repeat(np.arange(a_rows, dtype=np.int64), np.diff(ia))
         b_len = np.diff(ib)
         lens = b_len[xa]                          # matched B-row lengths
         total = int(lens.sum())
-        check(total <= EXPANSION_BUDGET, IncorrectDimensions,
-              f"spgemm expansion {total} exceeds budget "
-              f"{EXPANSION_BUDGET}; pre-partition the operands")
-        offsets = np.zeros(a.stored + 1, dtype=np.int64)
+        if budget is not None and total > budget:
+            raise _ExpansionOverBudget(total)
+        offsets = np.zeros(nnz_a + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
-        src_a = np.repeat(np.arange(a.stored, dtype=np.int64), lens)
+        src_a = np.repeat(np.arange(nnz_a, dtype=np.int64), lens)
         within = np.arange(total, dtype=np.int64) - offsets[src_a]
         src_b = ib[xa[src_a]] + within
         out_row = ra[src_a]
         out_col = xb[src_b]
-        key = out_row * b.cols + out_col
+        key = out_row * b_cols + out_col
         pattern = np.unique(key)
         dst = np.searchsorted(pattern, key)
         nnz_c = pattern.shape[0]
-        counts = np.zeros(a.rows, dtype=np.int64)
-        np.add.at(counts, pattern // b.cols, 1)
+        counts = np.zeros(a_rows, dtype=np.int64)
+        np.add.at(counts, pattern // b_cols, 1)
         indptr = np.concatenate([[0], np.cumsum(counts)])
+        self._host_indptr = indptr.astype(np.int64)
+        self._host_indices = (pattern % b_cols).astype(np.int32)
         self.indptr = jnp.asarray(indptr.astype(np.int32))
-        self.indices = jnp.asarray((pattern % b.cols).astype(np.int32))
+        self.indices = jnp.asarray(self._host_indices)
         self.dst = jnp.asarray(dst.astype(np.int32))
         self.src_a = jnp.asarray(src_a.astype(np.int32))
         self.src_b = jnp.asarray(src_b.astype(np.int32))
         self.nnz_c = nnz_c
-        self.rows, self.cols = a.rows, b.cols
+        self.rows, self.cols = a_rows, b_cols
         self.expansion = total
+        return self
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -193,6 +208,73 @@ def _spgemm_planned_vals(vals_a, vals_b, plan_maps, nnz_c: int):
     dst, src_a, src_b = plan_maps
     prod = vals_a[src_a] * vals_b[src_b]
     return jnp.zeros(nnz_c, dtype=prod.dtype).at[dst].add(prod)
+
+
+class _SpgemmChunkedPlan:
+    """Row-chunked Gustavson plan: when the full expansion exceeds
+    ``EXPANSION_BUDGET``, partition A's rows into contiguous chunks whose
+    per-chunk expansion fits the budget, build a :class:`_SpgemmPlan` per
+    chunk, and run the numeric phases sequentially. Output rows are
+    disjoint across chunks so the per-chunk CSR pieces concatenate exactly
+    (indptr offset + indices/values concat). A single row whose own
+    expansion exceeds the budget becomes a chunk by itself (memory guard
+    relaxed rather than refusing — strictly better than the typed error).
+    """
+
+    __slots__ = ("chunks", "indptr", "indices", "nnz_c", "rows", "cols",
+                 "expansion")
+
+    def __init__(self, a: CSR, b: CSR):
+        import numpy as np
+
+        ia, xa, _ = a.numpy()
+        ib, xb, _ = b.numpy()
+        ia = np.asarray(ia, dtype=np.int64)
+        b_len = np.diff(np.asarray(ib, dtype=np.int64))
+        # cumulative expansion at each A-entry boundary → per-row prefix
+        ce = np.zeros(xa.shape[0] + 1, dtype=np.int64)
+        np.cumsum(b_len[xa], out=ce[1:])
+        row_pref = ce[ia]                       # (rows+1,) expansion prefix
+        self.expansion = int(row_pref[-1])
+
+        # Greedy contiguous row chunks, each ≤ budget (single over-budget
+        # rows stand alone).
+        bounds = [0]
+        r0 = 0
+        while r0 < a.rows:
+            r1 = int(np.searchsorted(row_pref,
+                                     row_pref[r0] + EXPANSION_BUDGET,
+                                     side="right")) - 1
+            r1 = min(max(r1, r0 + 1), a.rows)
+            bounds.append(r1)
+            r0 = r1
+
+        self.chunks = []
+        indices_parts, indptr_parts = [], [np.zeros(1, dtype=np.int64)]
+        nnz_off = 0
+        for r0, r1 in zip(bounds[:-1], bounds[1:]):
+            s, e = int(ia[r0]), int(ia[r1])
+            sub_ip = (ia[r0:r1 + 1] - ia[r0]).astype(np.int64)
+            p = _SpgemmPlan.__new__(_SpgemmPlan)
+            p._build(sub_ip, xa[s:e], r1 - r0, ib, xb, b.cols)
+            self.chunks.append((s, e, p))
+            indices_parts.append(p._host_indices)
+            indptr_parts.append(p._host_indptr[1:] + nnz_off)
+            nnz_off += p.nnz_c
+        self.nnz_c = nnz_off
+        self.indptr = jnp.asarray(
+            np.concatenate(indptr_parts).astype(np.int32))
+        self.indices = jnp.asarray(
+            np.concatenate(indices_parts).astype(np.int32))
+        self.rows, self.cols = a.rows, b.cols
+
+    def numeric(self, vals_a, vals_b):
+        parts = [
+            _spgemm_planned_vals(vals_a[s:e], vals_b,
+                                 (p.dst, p.src_a, p.src_b), p.nnz_c)
+            for s, e, p in self.chunks
+        ]
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
 
 def spgemm_planned(a: CSR, b: CSR) -> CSR:
@@ -217,10 +299,20 @@ def spgemm_planned(a: CSR, b: CSR) -> CSR:
             plan = p
             break
     if plan is None:
-        plan = _SpgemmPlan(a, b)
+        try:
+            plan = _SpgemmPlan(a, b)
+        except _ExpansionOverBudget:
+            # Actual expansion exceeds the single-shot budget: fall back to
+            # contiguous row chunks planned/executed independently (output
+            # rows are disjoint, so the pieces concatenate exactly).
+            plan = _SpgemmChunkedPlan(a, b)
         plans.append((weakref.ref(b), plan))
         del plans[:-4]
-    vals = _spgemm_planned_vals(
-        a.values, b.values, (plan.dst, plan.src_a, plan.src_b), plan.nnz_c)
+    if isinstance(plan, _SpgemmChunkedPlan):
+        vals = plan.numeric(a.values, b.values)
+    else:
+        vals = _spgemm_planned_vals(
+            a.values, b.values, (plan.dst, plan.src_a, plan.src_b),
+            plan.nnz_c)
     return CSR(indptr=plan.indptr, indices=plan.indices, values=vals,
                rows=plan.rows, cols=plan.cols)

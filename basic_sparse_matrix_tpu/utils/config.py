@@ -48,10 +48,12 @@ class Config:
     # stages — measured 1.8-2.6x the scan at m=64 and 1.6x at m=512) or
     # "scan" (the sequential block scan).
     banded_solver: str = "bcr"
-    # Planned-merge numeric phase: "planned" (two scalar inverse gathers)
-    # or "chunked" (issue-coalesced row gathers + one-hot select; see
-    # ops.elementwise MERGE_CHUNK_W). Flip after on-chip measurement.
-    merge_numeric: str = "planned"
+    # Planned-merge numeric phase: "chunked" (issue-coalesced row gathers +
+    # one-hot select contracted on the MXU; see ops.elementwise
+    # MERGE_CHUNK_W) or "planned" (two scalar inverse gathers). Measured on
+    # chip r3 (benchmarks/ss_add_bench.py, reference ss_add workload):
+    # chunked w=32 0.19 ms vs planned 7.84 ms (41x) vs scipy 9.2 ms (48x).
+    merge_numeric: str = "chunked"
     # Numerics.
     matmul_precision: str = "highest"  # this env quantizes default matmuls
     solve_dtype: str = "float32"

