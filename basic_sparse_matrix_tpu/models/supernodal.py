@@ -62,24 +62,89 @@ class SupernodalSchedule:
     # A scatter (same as scalar path)
     a_src_pos: jax.Array
     a_vals_idx: jax.Array
-    # per-group update tables
-    upd_gather_a: Tuple[jax.Array, ...]   # grp → (g, U, I, W) int32 → lvals
-    upd_gather_b: Tuple[jax.Array, ...]   # grp → (g, U, J, W)
-    upd_scatter: Tuple[jax.Array, ...]    # grp → (g, U, I, J)
-    # per-group panel tables
-    top_pos: Tuple[jax.Array, ...]        # grp → (g, S, W, W) lower-tri
-    below_pos: Tuple[jax.Array, ...]      # grp → (g, S, R, W)
+    # per-group COMPACT update tables — the full (U, I, W)/(U, J, W)/
+    # (U, I, J) position arrays are O(flops) and measured 3 GB at n=36k;
+    # positions are affine-or-gathered functions of these O(I+J+W)
+    # per-update vectors, so the numeric phase rebuilds them IN REGISTER
+    # (see _upd_positions) instead of reading them from HBM.
+    upd_base: Tuple[jax.Array, ...]       # grp → (g, U, W) source col base
+    upd_meta: Tuple[jax.Array, ...]       # grp → (g, U, 3) = (ni, nj, hi_s)
+    upd_irows: Tuple[jax.Array, ...]      # grp → (g, U, I) target rows
+    upd_ibelow: Tuple[jax.Array, ...]     # grp → (g, U, I) below-row ranks
+    upd_jrows: Tuple[jax.Array, ...]      # grp → (g, U, J) target cols
+    upd_jcp: Tuple[jax.Array, ...]        # grp → (g, U, J) col_ptr[jrows]
+    # per-group COMPACT panel tables (affine in (row rank, col rank))
+    panel_cp: Tuple[jax.Array, ...]       # grp → (g, S, W) col_ptr of cols
+    panel_r: Tuple[jax.Array, ...]        # grp → (g, S) below-row count
     top_valid: Tuple[jax.Array, ...]      # grp → (g, S, W) real column?
+    # static per-group max below-row count (the rebuilt below-block's R
+    # axis — a shape, so it lives in meta, not data)
+    panel_rmax: Tuple[int, ...] = dataclasses.field(
+        metadata=dict(static=True))
     nnz_l: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
 
 
 jax.tree_util.register_dataclass(
     SupernodalSchedule,
-    data_fields=["a_src_pos", "a_vals_idx", "upd_gather_a", "upd_gather_b",
-                 "upd_scatter", "top_pos", "below_pos", "top_valid"],
-    meta_fields=["nnz_l", "n"],
+    data_fields=["a_src_pos", "a_vals_idx", "upd_base", "upd_meta",
+                 "upd_irows", "upd_ibelow", "upd_jrows", "upd_jcp",
+                 "panel_cp", "panel_r", "top_valid"],
+    meta_fields=["panel_rmax", "nnz_l", "n"],
 )
+
+
+def _upd_positions(base, meta, irows, ibelow, jrows, jcp, scratch):
+    """Rebuild the (U, I, W)/(U, J, W)/(U, I, J) update position arrays
+    from the compact per-update vectors — integer VPU work, no HBM tables.
+    Source-panel gathers are affine (pos = base[col] + rank); the scatter
+    is affine in-panel and one precomputed below-rank otherwise. Padding
+    slots all land on ``scratch`` (gathers read the re-zeroed slot,
+    scatters drop/are re-zeroed)."""
+    U_, W = base.shape
+    I = irows.shape[1]
+    J = jrows.shape[1]
+    ii = jnp.arange(I, dtype=jnp.int32)
+    jj = jnp.arange(J, dtype=jnp.int32)
+    ni = meta[:, 0]
+    nj = meta[:, 1]
+    his = meta[:, 2]
+    vb = base != scratch                                     # (U, W)
+    ga = jnp.where((ii[None, :, None] < ni[:, None, None]) & vb[:, None, :],
+                   base[:, None, :] + ii[None, :, None], scratch)
+    gb = jnp.where((jj[None, :, None] < nj[:, None, None]) & vb[:, None, :],
+                   base[:, None, :] + jj[None, :, None], scratch)
+    ir = irows[:, :, None]                                   # (U, I, 1)
+    jr = jrows[:, None, :]                                   # (U, 1, J)
+    cpj = jcp[:, None, :]
+    valid = ((ii[None, :, None] < ni[:, None, None])
+             & (jj[None, None, :] < nj[:, None, None])
+             & (ir >= jr))
+    in_panel = ir < his[:, None, None]
+    pos = jnp.where(in_panel, cpj + ir - jr,
+                    cpj + (his[:, None, None] - jr) + ibelow[:, :, None])
+    sc = jnp.where(valid, pos, scratch)
+    return ga, gb, sc
+
+
+def _panel_positions(cp, r_tab, tv, R, scratch):
+    """Rebuild the (S, W, W) top-triangle and (S, R, W) below-block
+    position arrays from per-panel col_ptr vectors (affine in both
+    ranks)."""
+    S, W = cp.shape
+    il = jnp.arange(W, dtype=jnp.int32)
+    rr = jnp.arange(R, dtype=jnp.int32)
+    w = tv.sum(axis=-1).astype(jnp.int32)                    # (S,)
+    tri_mask = tv[:, :, None] & tv[:, None, :] & (
+        il[:, None] >= il[None, :])[None]
+    tp = jnp.where(tri_mask, cp[:, None, :] + (il[:, None] - il[None, :]),
+                   scratch)
+    bp_mask = tv[:, None, :] & (rr[None, :, None] < r_tab[:, None, None])
+    bp = jnp.where(bp_mask,
+                   cp[:, None, :] + (w[:, None, None] - il[None, None, :])
+                   + rr[None, :, None],
+                   scratch)
+    return tp, bp
 
 
 def supernode_stats(a: CSR, *, relax: int = 0):
@@ -233,7 +298,11 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
                 entries.append((buckets[cls],
                                 lv if ci == len(classes) - 1 else -1))
 
-    upd_ga, upd_gb, upd_sc = [], [], []
+    # Compact per-update vectors only (O(I+J+W) per update, not O(I·(J+W))
+    # — the full position arrays are rebuilt in-register on device by
+    # _upd_positions; measured 3 GB → tens of MB at n=36k).
+    upd_base, upd_meta = [], []
+    upd_irows, upd_ibelow, upd_jrows, upd_jcp = [], [], [], []
     for ups, _panel_lv in entries:
         U = max(len(ups), 1)
         maxI = maxJ = maxWl = 1
@@ -243,9 +312,12 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
             maxI = max(maxI, nrd - g0)
             maxJ = max(maxJ, g1 - g0)
             maxWl = max(maxWl, int(w_of[d]))
-        ga = np.full((U, maxI, maxWl), scratch, dtype=np.int64)
-        gb = np.full((U, maxJ, maxWl), scratch, dtype=np.int64)
-        sc = np.full((U, maxI, maxJ), scratch, dtype=np.int64)
+        baset = np.full((U, maxWl), scratch, dtype=np.int64)
+        metat = np.zeros((U, 3), dtype=np.int64)
+        irt = np.full((U, maxI), n, dtype=np.int64)
+        ibt = np.zeros((U, maxI), dtype=np.int64)
+        jrt = np.full((U, maxJ), n, dtype=np.int64)
+        jct = np.full((U, maxJ), scratch, dtype=np.int64)
         for u, (d, g0, g1, s) in enumerate(ups):
             lo, hi = int(c0[d]), int(c1[d])
             wd = hi - lo
@@ -253,78 +325,70 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
             rd = csc_rows[col_ptr[last] + 1: col_ptr[last + 1]]
             ni, nj = rd.size - g0, g1 - g0
             cols_d = np.arange(lo, hi)
-            base = col_ptr[cols_d] + (hi - cols_d) + g0      # (wd,)
-            ga[u, :ni, :wd] = base[None, :] + np.arange(ni)[:, None]
-            gb[u, :nj, :wd] = base[None, :] + np.arange(nj)[:, None]
-            # scatter: pos(i, j) for i >= j; i in rd[g0:], j in rd[g0:g1]
-            # (j are columns of target panel s). Column j's rows are
-            # [j..hi_s) ++ below_s → in-panel targets are affine, below-
-            # panel targets need one searchsorted into below_s.
+            baset[u, :wd] = col_ptr[cols_d] + (hi - cols_d) + g0
+            # scatter metadata: pos(i, j) for i >= j; i in rd[g0:], j in
+            # rd[g0:g1] (j are columns of target panel s). Column j's rows
+            # are [j..hi_s) ++ below_s → in-panel targets are affine,
+            # below-panel targets need one searchsorted into below_s.
             hi_s = int(c1[s])
             last_s = hi_s - 1
             below_s = csc_rows[col_ptr[last_s] + 1: col_ptr[last_s + 1]]
             i_rows = rd[g0:]
             j_rows = rd[g0:g1]
-            idx_below = np.searchsorted(below_s, i_rows)     # (ni,)
-            in_panel = i_rows[:, None] < hi_s
-            pos = np.where(
-                in_panel,
-                col_ptr[j_rows][None, :] + (i_rows[:, None] - j_rows[None, :]),
-                col_ptr[j_rows][None, :] + (hi_s - j_rows)[None, :]
-                + idx_below[:, None])
-            sc[u, :ni, :nj] = np.where(
-                i_rows[:, None] >= j_rows[None, :], pos, scratch)
-        upd_ga.append(ga.astype(np.int32))
-        upd_gb.append(gb.astype(np.int32))
-        upd_sc.append(sc.astype(np.int32))
+            metat[u] = (ni, nj, hi_s)
+            irt[u, :ni] = i_rows
+            ibt[u, :ni] = np.searchsorted(below_s, i_rows)
+            jrt[u, :nj] = j_rows
+            jct[u, :nj] = col_ptr[j_rows]
+        upd_base.append(baset.astype(np.int32))
+        upd_meta.append(metat.astype(np.int32))
+        upd_irows.append(irt.astype(np.int32))
+        upd_ibelow.append(ibt.astype(np.int32))
+        upd_jrows.append(jrt.astype(np.int32))
+        upd_jcp.append(jct.astype(np.int32))
 
-    # ---------------- panel tables (affine positions) ----------------
-    top_pos, below_pos, top_valid = [], [], []
+    # ------------- panel tables (compact: col_ptr vectors) -------------
+    panel_cp, panel_r, top_valid = [], [], []
     for _ups, lv in entries:
         if lv == -1:
             # update-only pseudo-level: dummy panels into the scratch slot
-            top_pos.append(np.full((1, 1, 1), scratch, dtype=np.int32))
-            below_pos.append(np.full((1, 1, 1), scratch, dtype=np.int32))
+            panel_cp.append(np.full((1, 1), scratch, dtype=np.int32))
+            panel_r.append(np.zeros((1,), dtype=np.int32))
             top_valid.append(np.zeros((1, 1), dtype=bool))
             continue
         sns = np.nonzero(slevel == lv)[0]
         S = max(sns.size, 1)
         Wl = max((int(w_of[s]) for s in sns), default=1)
-        Rl = max((int(col_ptr[c1[s]] - col_ptr[c1[s] - 1] - 1)
-                  for s in sns), default=0) or 1
-        tp = np.full((S, Wl, Wl), scratch, dtype=np.int64)
-        bp = np.full((S, Rl, Wl), scratch, dtype=np.int64)
+        cp = np.full((S, Wl), scratch, dtype=np.int64)
+        rt = np.zeros((S,), dtype=np.int64)
         tv = np.zeros((S, Wl), dtype=bool)
         for k, s in enumerate(sns):
             lo, hi = int(c0[s]), int(c1[s])
             w = hi - lo
             tv[k, :w] = True
-            cols_s = np.arange(lo, hi)
-            il = np.arange(w)
-            # top triangle: pos(lo+il, lo+jl) = col_ptr[lo+jl] + (il - jl)
-            tri = col_ptr[cols_s][None, :] + (il[:, None] - il[None, :])
-            tp[k, :w, :w] = np.where(il[:, None] >= il[None, :], tri,
-                                     scratch)
-            r = int(col_ptr[hi] - col_ptr[hi - 1] - 1)
-            if r:
-                bp[k, :r, :w] = (col_ptr[cols_s][None, :]
-                                 + (hi - cols_s)[None, :]
-                                 + np.arange(r)[:, None])
-        top_pos.append(tp.astype(np.int32))
-        below_pos.append(bp.astype(np.int32))
+            cp[k, :w] = col_ptr[lo:hi]
+            rt[k] = int(col_ptr[hi] - col_ptr[hi - 1] - 1)
+        panel_cp.append(cp.astype(np.int32))
+        panel_r.append(rt.astype(np.int32))
         top_valid.append(tv)
 
-    # Group consecutive levels whose SIX table shapes all match and stack
-    # them (leading axis g): the numeric phase scans within a group, so
-    # chain-shaped schedules compile O(#groups), not O(#levels).
-    per_level = [upd_ga, upd_gb, upd_sc, top_pos, below_pos, top_valid]
+    # Group consecutive levels whose table shapes AND max below-row counts
+    # all match and stack them (leading axis g): the numeric phase scans
+    # within a group, so chain-shaped schedules compile O(#groups), not
+    # O(#levels). panel_r's MAX is a shape (the rebuilt below-block's R
+    # axis), so it must match within a group.
+    per_level = [upd_base, upd_meta, upd_irows, upd_ibelow, upd_jrows,
+                 upd_jcp, panel_cp, panel_r, top_valid]
+    rmax = [int(r.max()) if r.size else 0 for r in panel_r]
     grouped = [[] for _ in per_level]
+    _group_starts = []
     nent = len(entries)
     lv = 0
     while lv < nent:
+        _group_starts.append(lv)
         j = lv + 1
-        while j < nent and all(t[j].shape == t[lv].shape
-                               for t in per_level):
+        while (j < nent and rmax[j] == rmax[lv]
+               and all(t[j].shape == t[lv].shape for t in per_level)):
             j += 1
         for gl, t in zip(grouped, per_level):
             gl.append(jnp.asarray(np.stack(t[lv:j])))
@@ -333,12 +397,17 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
     sched = SupernodalSchedule(
         a_src_pos=jnp.asarray(a_src_pos.astype(np.int32)),
         a_vals_idx=jnp.asarray(a_vals_idx.astype(np.int32)),
-        upd_gather_a=tuple(grouped[0]),
-        upd_gather_b=tuple(grouped[1]),
-        upd_scatter=tuple(grouped[2]),
-        top_pos=tuple(grouped[3]),
-        below_pos=tuple(grouped[4]),
-        top_valid=tuple(grouped[5]),
+        upd_base=tuple(grouped[0]),
+        upd_meta=tuple(grouped[1]),
+        upd_irows=tuple(grouped[2]),
+        upd_ibelow=tuple(grouped[3]),
+        upd_jrows=tuple(grouped[4]),
+        upd_jcp=tuple(grouped[5]),
+        panel_cp=tuple(grouped[6]),
+        panel_r=tuple(grouped[7]),
+        top_valid=tuple(grouped[8]),
+        panel_rmax=tuple(max(rmax[lv], 1)
+                         for lv in _group_starts),
         nnz_l=nnz_l,
         n=n,
     )
@@ -348,9 +417,14 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
     return sched
 
 
-def _level_step(lvals, tabs):
-    """One fan-in level: batched MXU panel updates + panel finalisation."""
-    ga, gb, sc, tp, bp, tv = tabs
+def _level_step(lvals, tabs, R: int, scratch: int):
+    """One fan-in level: batched MXU panel updates + panel finalisation.
+    ``tabs`` holds the COMPACT per-level tables; the full position arrays
+    are rebuilt in-register (integer VPU work instead of 3 GB-scale HBM
+    table reads — see _upd_positions/_panel_positions)."""
+    base, meta, irows, ibelow, jrows, jcp, cp, r_tab, tv = tabs
+    ga, gb, sc = _upd_positions(base, meta, irows, ibelow, jrows, jcp,
+                                scratch)
     # 1) batched panel-outer-product updates on the MXU
     A = lvals[ga]                              # (U, I, W)
     B = lvals[gb]                              # (U, J, W)
@@ -360,6 +434,7 @@ def _level_step(lvals, tabs):
     lvals = lvals.at[-1].set(0.0)
 
     # 2) batched panel finalisation
+    tp, bp = _panel_positions(cp, r_tab, tv, R, scratch)
     T = lvals[tp]                              # (S, W, W) lower part
     eye = jnp.eye(T.shape[-1], dtype=T.dtype)
     # make padded columns well-posed: unit diagonal, zero elsewhere
@@ -377,6 +452,12 @@ def _level_step(lvals, tabs):
     return lvals.at[-1].set(0.0)
 
 
+def _group_tabs(sched: SupernodalSchedule, gi: int):
+    return (sched.upd_base[gi], sched.upd_meta[gi], sched.upd_irows[gi],
+            sched.upd_ibelow[gi], sched.upd_jrows[gi], sched.upd_jcp[gi],
+            sched.panel_cp[gi], sched.panel_r[gi], sched.top_valid[gi])
+
+
 @jax.jit
 def factorize_supernodal(sched: SupernodalSchedule,
                          a_values: jax.Array) -> jax.Array:
@@ -387,15 +468,17 @@ def factorize_supernodal(sched: SupernodalSchedule,
     lvals = lvals.at[sched.a_src_pos].add(
         a_values[sched.a_vals_idx].astype(jnp.float32))
 
-    for gi in range(len(sched.upd_gather_a)):
-        tabs = (sched.upd_gather_a[gi], sched.upd_gather_b[gi],
-                sched.upd_scatter[gi], sched.top_pos[gi],
-                sched.below_pos[gi], sched.top_valid[gi])
+    scratch = sched.nnz_l
+    for gi in range(len(sched.upd_base)):
+        tabs = _group_tabs(sched, gi)
+        R = sched.panel_rmax[gi]
         if tabs[0].shape[0] == 1:
-            lvals = _level_step(lvals, tuple(t[0] for t in tabs))
+            lvals = _level_step(lvals, tuple(t[0] for t in tabs), R,
+                                scratch)
         else:
             lvals, _ = jax.lax.scan(
-                lambda lv, t: (_level_step(lv, t), None), lvals, tabs)
+                lambda lv, t, _R=R: (_level_step(lv, t, _R, scratch), None),
+                lvals, tabs)
 
     return lvals[:-1]
 

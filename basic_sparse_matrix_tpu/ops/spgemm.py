@@ -187,6 +187,13 @@ class _SpgemmPlan:
         pattern = np.unique(key)
         dst = np.searchsorted(pattern, key)
         nnz_c = pattern.shape[0]
+        # Reorder the contribution lists by destination slot (host, once):
+        # the numeric phase then reduces with a SORTED segment-sum instead
+        # of a random scatter-add (XLA TPU scatter measured ~6x slower
+        # than the equivalent gather; sorted segment ids lower to a fast
+        # one-pass reduction).
+        order = np.argsort(dst, kind="stable")
+        dst, src_a, src_b = dst[order], src_a[order], src_b[order]
         counts = np.zeros(a_rows, dtype=np.int64)
         np.add.at(counts, pattern // b_cols, 1)
         indptr = np.concatenate([[0], np.cumsum(counts)])
@@ -207,7 +214,9 @@ class _SpgemmPlan:
 def _spgemm_planned_vals(vals_a, vals_b, plan_maps, nnz_c: int):
     dst, src_a, src_b = plan_maps
     prod = vals_a[src_a] * vals_b[src_b]
-    return jnp.zeros(nnz_c, dtype=prod.dtype).at[dst].add(prod)
+    # dst is sorted at plan time — a sorted segment-sum, not a scatter.
+    return jax.ops.segment_sum(prod, dst, num_segments=nnz_c,
+                               indices_are_sorted=True)
 
 
 class _SpgemmChunkedPlan:

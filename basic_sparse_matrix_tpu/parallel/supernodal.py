@@ -8,7 +8,9 @@ its panel list, and one ``psum`` per phase merges the disjoint
 contributions. The per-update work here is a dense outer product (MXU) —
 this is the "fan-out elimination-tree schedule with column-panel broadcasts"
 of BASELINE.json's north star, with the broadcast realised as the
-psum-replicated factor value array.
+psum-replicated factor value array. Tables are the COMPACT per-update
+vectors (models.supernodal r3); full position arrays are rebuilt
+in-register on each device.
 """
 
 from __future__ import annotations
@@ -20,6 +22,8 @@ from jax.sharding import PartitionSpec as P
 
 from ..models.supernodal import (
     SupernodalSchedule,
+    _panel_positions,
+    _upd_positions,
     analyze_supernodal,
     assemble_factor,
 )
@@ -44,23 +48,30 @@ def factorize_supernodal_sharded(sched: SupernodalSchedule, a_values,
                                  mesh) -> jax.Array:
     num = mesh.shape[ROWS]
     scratch = sched.nnz_l
-    uga = tuple(jnp.asarray(_split(np.asarray(t), num, scratch))
-                for t in sched.upd_gather_a)
-    ugb = tuple(jnp.asarray(_split(np.asarray(t), num, scratch))
-                for t in sched.upd_gather_b)
-    usc = tuple(jnp.asarray(_split(np.asarray(t), num, scratch))
-                for t in sched.upd_scatter)
-    tpos = tuple(jnp.asarray(_split(np.asarray(t), num, scratch))
-                 for t in sched.top_pos)
-    bpos = tuple(jnp.asarray(_split(np.asarray(t), num, scratch))
-                 for t in sched.below_pos)
-    tval = tuple(jnp.asarray(_split(np.asarray(t), num, False))
-                 for t in sched.top_valid)
-    nlev = len(uga)
+    n = sched.n
+
+    def split_all(tables, pad_value):
+        return tuple(jnp.asarray(_split(np.asarray(t), num, pad_value))
+                     for t in tables)
+
+    # Pad values chosen so padded update/panel slots are fully masked by
+    # the position rebuilders: meta 0 → ni = nj = 0; top_valid False.
+    ubase = split_all(sched.upd_base, scratch)
+    umeta = split_all(sched.upd_meta, 0)
+    uir = split_all(sched.upd_irows, n)
+    uib = split_all(sched.upd_ibelow, 0)
+    ujr = split_all(sched.upd_jrows, n)
+    ujcp = split_all(sched.upd_jcp, scratch)
+    pcp = split_all(sched.panel_cp, scratch)
+    pr = split_all(sched.panel_r, 0)
+    tval = split_all(sched.top_valid, False)
+    nlev = len(ubase)
     a_vals = jnp.asarray(a_values)
 
-    def level_step(lvals, tabs):
-        ga, gb, sc, tp, bp, tv = tabs
+    def level_step(lvals, tabs, R):
+        base, meta, irows, ibelow, jrows, jcp, cp, r_tab, tv = tabs
+        ga, gb, sc = _upd_positions(base, meta, irows, ibelow, jrows, jcp,
+                                    scratch)
         # local slice of this level's panel-update batch → psum merge
         A = lvals[ga]
         B = lvals[gb]
@@ -71,6 +82,7 @@ def factorize_supernodal_sharded(sched: SupernodalSchedule, a_values,
         lvals = lvals + jax.lax.psum(delta, ROWS)
 
         # local slice of this level's panels → psum publish
+        tp, bp = _panel_positions(cp, r_tab, tv, R, scratch)
         T = lvals[tp]
         eye = jnp.eye(T.shape[-1], dtype=T.dtype)
         Tsym = T + jnp.where(tv[:, :, None] & tv[:, None, :], 0.0, eye)
@@ -86,32 +98,37 @@ def factorize_supernodal_sharded(sched: SupernodalSchedule, a_values,
         fix = fix.at[-1].set(0.0)
         return lvals + jax.lax.psum(fix, ROWS)
 
-    def body(uga, ugb, usc, tpos, bpos, tval, a_vals):
+    def body(ubase, umeta, uir, uib, ujr, ujcp, pcp, pr, tval, a_vals):
         lvals = jnp.zeros(sched.nnz_l + 1, dtype=jnp.float32)
         lvals = lvals.at[sched.a_src_pos].add(
             a_vals[sched.a_vals_idx].astype(jnp.float32))
 
         for gi in range(nlev):
-            # local tables: (g, 1, U_local, ...) → scan over g, drop the
+            # local tables: (g, 1, M_local, ...) → scan over g, drop the
             # local device axis
             tabs = tuple(t[gi][:, 0]
-                         for t in (uga, ugb, usc, tpos, bpos, tval))
+                         for t in (ubase, umeta, uir, uib, ujr, ujcp,
+                                   pcp, pr, tval))
+            R = sched.panel_rmax[gi]
             if tabs[0].shape[0] == 1:
-                lvals = level_step(lvals, tuple(t[0] for t in tabs))
+                lvals = level_step(lvals, tuple(t[0] for t in tabs), R)
             else:
                 lvals, _ = jax.lax.scan(
-                    lambda lv, t: (level_step(lv, t), None), lvals, tabs)
+                    lambda lv, t, _R=R: (level_step(lv, t, _R), None),
+                    lvals, tabs)
 
         return lvals[:-1]
 
     spec = lambda tables: tuple(P(None, ROWS) for _ in tables)  # noqa: E731
     f = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(spec(uga), spec(ugb), spec(usc),
-                  spec(tpos), spec(bpos), spec(tval), P()),
+        in_specs=(spec(ubase), spec(umeta), spec(uir), spec(uib),
+                  spec(ujr), spec(ujcp), spec(pcp), spec(pr), spec(tval),
+                  P()),
         out_specs=P(),
     )
-    return jax.jit(f)(uga, ugb, usc, tpos, bpos, tval, a_vals)
+    return jax.jit(f)(ubase, umeta, uir, uib, ujr, ujcp, pcp, pr, tval,
+                      a_vals)
 
 
 def cholesky_supernodal_distributed(a: CSR, mesh, *, relax: int = 0) -> CSR:

@@ -41,7 +41,11 @@ class Config:
     # Measured on chip (BENCH_RESULTS r2): even nb=1024 blocks factor n=16k
     # in 8.5 ms — far below the supernodal path at equal n — so the cap is
     # set by the storage guard in practice, not by block-size economics.
-    banded_max_block: int = 1024
+    # Raised 1024 → 2048 in r3: band storage O(n·nb) + batched potrf of
+    # nb² blocks stay MXU-friendly, and the bytes guard (not block-size
+    # economics) remains the binding constraint; this extends the banded/
+    # BCR tier to regular 3D patterns at n ≥ 32k (bandwidth ~n^(2/3)).
+    banded_max_block: int = 2048
     banded_max_bytes: int = 1 << 30
     banded_min_steps: int = 4       # need >= this many block rows to pay off
     # Banded backend: "bcr" (block cyclic reduction, O(log m) batched

@@ -201,17 +201,21 @@ def main():
     h_bytes = hnnz * 8 + hnnz * hrhs * 4 + hrows * hrhs * 4
     h_frac = (h_bytes / HBM_BW) / hdt
 
-    # Measured random-gather bound (VERDICT r2 item 4): the same access
-    # pattern the hypersparse kernel is made of — random row gathers from
-    # the RHS table — timed raw. The spec-sheet 819 GB/s is unreachable for
-    # issue-bound random gathers; this probe gives the denominator that
-    # makes the hypersparse fraction interpretable on this chip.
+    # Measured random-gather reference (VERDICT r2 item 4): the naive
+    # single-gather formulation of the same access pattern the hypersparse
+    # kernel is made of — one (hnnz, hrhs) row gather, reduced in place so
+    # no full-size temp rides HBM (traffic ≈ the gathered bytes only). The
+    # spec-sheet 819 GB/s is unreachable for issue-bound random gathers;
+    # this probe is the denominator that makes the hypersparse fraction
+    # interpretable on this chip. Note the ELL kernel's width-grouped
+    # unroll can EXCEED this reference (measured ~1.8x): many smaller
+    # in-flight gathers pipeline better than one monolithic gather, which
+    # is exactly the win the barriered unroll buys.
     gidx = hcols.reshape(-1)  # (hnnz,) random rows in [0, hrows)
 
     def gather_step(operand, carry):
-        g = carry[operand]                        # (hnnz, hrhs) gather
-        upd = g.reshape(-1, hrows, hrhs).sum(axis=0)
-        return carry + upd * 1e-20
+        s = carry[operand].sum(axis=1)            # fused gather+reduce
+        return carry + s.sum() * 1e-30
 
     gdt = measure_loop(make_loop(gather_step), gidx, hb, i1=2, i2=8, reps=2)
     gather_gbps = hnnz * hrhs * 4 / gdt / 1e9

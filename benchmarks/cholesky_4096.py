@@ -101,7 +101,7 @@ def main():
         rec["analyze_supernodal_s"] = round(time.time() - t0, 3)
         rec["panel_width"] = round(sched.avg_panel_width, 2)
         rec["nnz_l"] = sched.nnz_l
-        rec["n_groups"] = len(sched.upd_gather_a)
+        rec["n_groups"] = len(sched.upd_base)
 
         # The carry (normalised factor values sliced back to A's nnz) keeps
         # iterations serialised; numerically meaningless, which is fine for

@@ -1,0 +1,122 @@
+"""ss_mul head-to-head: host CPU (scipy C++ SpGEMM) vs TPU paths.
+
+Two regimes:
+* reference scale (1000×1000, 500k inserts — the ss_mul sweep top,
+  ``/root/reference/benches/sparse_sparse_mul.rs:6-37``): shipping
+  dispatch is masked-dense (densify B once like reference construction,
+  MXU matmul per iteration).
+* large-n (100k×100k, 500k nnz each): densifying is wrong; shipping path
+  is the planned exact-pattern Gustavson numeric phase (plan outside the
+  loop, gather-multiply + sorted segment-sum per iteration).
+
+CPU baselines are scipy's csr_matmat (single-core C++), best-of-N wall
+clock. TPU timings use the fetch-fenced two-point method.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def _gen(seed, n, nnz):
+    r = np.random.default_rng(seed)
+    return (r.integers(0, n, nnz), r.integers(0, n, nnz),
+            (r.integers(0, 2**32, nnz) % 255 + 1).astype(np.float32))
+
+
+def cpu_baseline(n, nnz, seeds, reps=5):
+    import scipy.sparse as sp
+
+    mats = []
+    for s in seeds:
+        ra, ca, va = _gen(s, n, nnz)
+        m = sp.coo_matrix((va, (ra, ca)), shape=(n, n)).tocsr()
+        m.sum_duplicates()
+        mats.append(m)
+    A, B = mats
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = A @ B
+        best = min(best, time.perf_counter() - t0)
+    return best, int(A.nnz), int(B.nnz), int((A @ B).nnz)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nnz", type=int, default=500_000)
+    ap.add_argument("--skip-tpu", action="store_true")
+    args = ap.parse_args()
+
+    results = {}
+    t_ref, nnz_a, nnz_b, nnz_c = cpu_baseline(1000, args.nnz, (3000, 4000))
+    results["cpu_scipy_1000_s"] = float(f"{t_ref:.4g}")
+    results["ref_nnz"] = [nnz_a, nnz_b, nnz_c]
+    t_big, bnnz_a, bnnz_b, bnnz_c = cpu_baseline(100_000, args.nnz,
+                                                 (5000, 6000))
+    results["cpu_scipy_100k_s"] = float(f"{t_big:.4g}")
+    results["big_nnz"] = [bnnz_a, bnnz_b, bnnz_c]
+    print(json.dumps({"baseline": results}), flush=True)
+    if args.skip_tpu:
+        return
+
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from basic_sparse_matrix_tpu import CSR
+    from basic_sparse_matrix_tpu.ops.spmm import spmm
+    from basic_sparse_matrix_tpu.runtime.timing import make_loop, measure_loop
+
+    _sg = importlib.import_module("basic_sparse_matrix_tpu.ops.spgemm")
+
+    def gen_csr(seed, n):
+        ra, ca, va = _gen(seed, n, args.nnz)
+        return CSR.from_coo_arrays((n, n), ra, ca, va)
+
+    # Reference scale: masked-dense (B densified outside the loop).
+    ga, gb = gen_csr(3000, 1000), gen_csr(4000, 1000)
+    gb_dense = jax.block_until_ready(gb.todense())
+
+    def dense_step(operand, carry):
+        return spmm(operand[0], carry)
+
+    mdt = measure_loop(make_loop(dense_step), (ga,), gb_dense,
+                       i1=20, i2=220, reps=2)
+    results["tpu_masked_dense_s"] = float(f"{mdt:.4g}")
+    print(json.dumps({"masked_dense": mdt}), flush=True)
+
+    # Large-n: planned Gustavson numeric phase.
+    pa, pb = gen_csr(5000, 100_000), gen_csr(6000, 100_000)
+    plan = _sg._SpgemmPlan(pa, pb)
+    results["plan_expansion"] = plan.expansion
+    results["plan_nnz_c"] = plan.nnz_c
+
+    def planned_step(operand, carry):
+        out = _sg._spgemm_planned_vals(
+            operand[0].values, carry, (plan.dst, plan.src_a, plan.src_b),
+            plan.nnz_c)
+        return out[: pb.stored]
+
+    pdt = measure_loop(make_loop(planned_step), (pa,), pb.values,
+                       i1=5, i2=45, reps=2)
+    results["tpu_planned_100k_s"] = float(f"{pdt:.4g}")
+    results["tpu_planned_vs_scipy"] = float(f"{t_big / pdt:.4g}")
+    results["tpu_dense_vs_scipy"] = float(f"{t_ref / mdt:.4g}")
+    print(json.dumps({
+        "metric": "ss_mul_head_to_head",
+        "results": results,
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
