@@ -129,7 +129,10 @@ def analyze(a: CSR, *, incomplete: bool = False) -> CholeskySchedule:
     keep = indices <= rows
     a_rows, a_cols = rows[keep], indices[keep]
     a_vals_idx = np.nonzero(keep)[0]
-    a_src_pos = np.searchsorted(csc_keys, a_cols * n + a_rows)
+    # a_cols may be int32 from CSR storage: widen BEFORE the multiply
+    # (int32*n overflows at n > 65535 under NumPy-2 promotion).
+    a_src_pos = np.searchsorted(
+        csc_keys, a_cols.astype(np.int64) * n + a_rows)
 
     # Fan-in levels over the etree.
     level = np.zeros(n, dtype=np.int64)

@@ -104,6 +104,11 @@ def _upd_positions(base, meta, irows, ibelow, jrows, jcp, scratch):
     U_, W = base.shape
     I = irows.shape[1]
     J = jrows.shape[1]
+    # Row/rank tables ride HBM (and the host->device upload) as uint16 when
+    # n fits (analyze narrows them); widen in register for the arithmetic.
+    irows = irows.astype(jnp.int32)
+    ibelow = ibelow.astype(jnp.int32)
+    jrows = jrows.astype(jnp.int32)
     ii = jnp.arange(I, dtype=jnp.int32)
     jj = jnp.arange(J, dtype=jnp.int32)
     ni = meta[:, 0]
@@ -213,7 +218,10 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
     # A scatter positions (lower incl diagonal) — AFTER any pattern
     # expansion so positions index the final value array.
     keep = indices <= rows
-    a_src_pos = np.searchsorted(csc_keys, indices[keep] * n + rows[keep])
+    # indices may be int32 from CSR storage: the key must widen BEFORE the
+    # multiply (int32*n overflows at n > 65535 under NumPy-2 promotion).
+    a_src_pos = np.searchsorted(
+        csc_keys, indices[keep].astype(np.int64) * n + rows[keep])
     a_vals_idx = np.nonzero(keep)[0]
 
     # supernode etree + fan-in levels
@@ -342,9 +350,14 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
             jct[u, :nj] = col_ptr[j_rows]
         upd_base.append(baset.astype(np.int32))
         upd_meta.append(metat.astype(np.int32))
-        upd_irows.append(irt.astype(np.int32))
-        upd_ibelow.append(ibt.astype(np.int32))
-        upd_jrows.append(jrt.astype(np.int32))
+        # Row ids and below-ranks are < n (sentinel exactly n), so they fit
+        # uint16 whenever n does — 70% of the schedule bytes at n=36k
+        # (upload AND per-level HBM reads) halve; _upd_positions widens in
+        # register. base/jcp index the nnz_l-sized value array: int32.
+        row_dtype = np.uint16 if n <= 0xFFFF else np.int32
+        upd_irows.append(irt.astype(row_dtype))
+        upd_ibelow.append(ibt.astype(row_dtype))
+        upd_jrows.append(jrt.astype(row_dtype))
         upd_jcp.append(jct.astype(np.int32))
 
     # ------------- panel tables (compact: col_ptr vectors) -------------

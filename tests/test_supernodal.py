@@ -1,5 +1,7 @@
 """Supernodal Cholesky tests — panel numeric phase vs dense oracle."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -127,3 +129,58 @@ def test_relaxed_width_grows_with_budget():
     w0 = analyze_supernodal(ap, relax=0).avg_panel_width
     w8 = analyze_supernodal(ap, relax=8).avg_panel_width
     assert w8 > w0
+
+
+def test_wide_n_int32_tables():
+    """n > 65535 keeps int32 row/rank tables (uint16 narrowing only applies
+    when every row id and the n sentinel fit); factor stays correct. A
+    block-diagonal pattern keeps the schedule one level deep so the test is
+    cheap at n = 65544."""
+    import jax.numpy as jnp
+
+    blocks, bs = 8193, 8           # 8193 * 8 = 65544 > 0xFFFF
+    n = blocks * bs
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((bs, bs)).astype(np.float32)
+    spd = (m @ m.T + bs * np.eye(bs)).astype(np.float32)
+    rr, cc = np.meshgrid(np.arange(bs), np.arange(bs), indexing="ij")
+    offs = (np.arange(blocks) * bs)[:, None, None]
+    rows = (rr[None] + offs).ravel()
+    cols = (cc[None] + offs).ravel()
+    vals = np.broadcast_to(spd, (blocks, bs, bs)).ravel()
+    a = CSR.from_coo_arrays((n, n), rows, cols, vals)
+
+    sched = analyze_supernodal(a)
+    assert all(t.dtype == jnp.int32 for t in sched.upd_irows)
+    assert all(t.dtype == jnp.int32 for t in sched.upd_jrows)
+
+    lvals = np.asarray(factorize_supernodal(sched, a.values))
+    from basic_sparse_matrix_tpu.models.supernodal import assemble_factor
+
+    l = assemble_factor(a, lvals, sched)
+    # Check one interior block of L against the dense oracle.
+    ref = np.linalg.cholesky(spd.astype(np.float64))
+    o = 4096 * bs
+    blk = np.asarray(l.take_submatrix((o, o), (o + bs, o + bs)).todense())
+    assert np.allclose(blk, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_small_n_uint16_tables():
+    """n <= 65535 narrows row/rank tables to uint16; bitwise-equal factor
+    values versus a schedule forced to int32 widths."""
+    import jax.numpy as jnp
+
+    a = CSR.from_dense(_lap2d(6))
+    sched = analyze_supernodal(a)
+    assert all(t.dtype == jnp.uint16 for t in sched.upd_irows)
+    assert all(t.dtype == jnp.uint16 for t in sched.upd_ibelow)
+    lv16 = np.asarray(factorize_supernodal(sched, a.values))
+
+    wide = dataclasses.replace(
+        sched,
+        upd_irows=tuple(t.astype(jnp.int32) for t in sched.upd_irows),
+        upd_ibelow=tuple(t.astype(jnp.int32) for t in sched.upd_ibelow),
+        upd_jrows=tuple(t.astype(jnp.int32) for t in sched.upd_jrows),
+    )
+    lv32 = np.asarray(factorize_supernodal(wide, a.values))
+    assert np.array_equal(lv16, lv32)
