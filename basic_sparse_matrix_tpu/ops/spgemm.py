@@ -25,6 +25,12 @@ XLA's static-shape model. We provide:
   when the densified RHS would not fit (large n). Expansions beyond
   ``EXPANSION_BUDGET`` fall back to contiguous row chunks planned and
   executed independently (:class:`_SpgemmChunkedPlan`) — no refusal.
+  When the matched B rows are long (runs >= chunk width), the numeric
+  phase can run ISSUE-COALESCED (config ``spgemm_numeric="chunked"``):
+  source-order products from 4 aligned row gathers + one-hot select, then
+  a single permutation gather to destination order — ~2x fewer scalar
+  gather issues than the two-gather formulation (the planned-merge chunk
+  trick of :mod:`ops.elementwise`, generalised).
 """
 
 from __future__ import annotations
@@ -143,6 +149,9 @@ def _spgemm_bounded_jit(a: CSR, b: CSR, max_b_row: int) -> CSR:
                rows=a.rows, cols=b.cols)
 
 
+SPGEMM_CHUNK_W = 32
+
+
 class _ExpansionOverBudget(Exception):
     """Actual Gustavson expansion exceeds EXPANSION_BUDGET — the caller
     should fall back to the row-chunked plan."""
@@ -158,7 +167,7 @@ class _SpgemmPlan:
 
     __slots__ = ("indptr", "indices", "dst", "src_a", "src_b", "nnz_c",
                  "rows", "cols", "expansion", "_host_indptr",
-                 "_host_indices")
+                 "_host_indices", "coal")
 
     def __init__(self, a: CSR, b: CSR):
         ia, xa, _ = a.numpy()
@@ -193,6 +202,9 @@ class _SpgemmPlan:
         # than the equivalent gather; sorted segment ids lower to a fast
         # one-pass reduction).
         order = np.argsort(dst, kind="stable")
+        # Issue-coalesced numeric maps (config spgemm_numeric="chunked"):
+        # built from the EXPANSION-order structure before it is discarded.
+        self.coal = self._try_coalesce(xa, ib, lens, offsets, total, order)
         dst, src_a, src_b = dst[order], src_a[order], src_b[order]
         counts = np.zeros(a_rows, dtype=np.int64)
         np.add.at(counts, pattern // b_cols, 1)
@@ -209,6 +221,58 @@ class _SpgemmPlan:
         self.expansion = total
         return self
 
+    def _try_coalesce(self, xa, ib, lens, offsets, total,
+                      order, w: int = SPGEMM_CHUNK_W):
+        """Issue-coalesced numeric maps, generalising the planned-merge
+        chunk trick (ops.elementwise._ChunkedMergePlan) to Gustavson
+        expansion. In EXPANSION order the B-value sources are piecewise
+        contiguous (one run per A entry, run e = ``vals_b[ib[xa[e]] :
+        ib[xa[e]] + lens[e]]``), so when every w-slot chunk intersects at
+        most TWO runs, four aligned w-row gathers (base chunk + successor,
+        per run) plus a host-precomputed one-hot select serve all w slots.
+        Scalar issues drop from 2·E (two random gathers) to ~E (the one
+        destination-order permutation) + 4·E/w row issues. Returns None —
+        falling back to the standard maps — when the operands' matched
+        rows are too short for 2-run coverage or E is too small to care."""
+        import numpy as np
+
+        E = int(total)
+        nnz_a = xa.shape[0]
+        if E < (1 << 14) or nnz_a == 0:
+            return None
+        nch = -(-E // w)
+        cw = np.arange(nch, dtype=np.int64) * w
+        e1 = np.searchsorted(offsets, cw, side="right") - 1
+        last = np.minimum(cw + w - 1, E - 1)
+        eL = np.searchsorted(offsets, last, side="right") - 1
+        if int(np.max(eL - e1)) > 1:
+            return None
+        e2 = np.minimum(e1 + 1, nnz_a - 1)
+        ib64 = np.asarray(ib, dtype=np.int64)
+        xa64 = np.asarray(xa, dtype=np.int64)
+        # slots [cw, cw+boundary) read run e1 at source s1+j; the rest read
+        # run e2, whose first in-chunk slot is offsets[e2] → source ib2.
+        boundary = np.clip(offsets[e1 + 1] - cw, 0, w)
+        s1 = ib64[xa64[e1]] + (cw - offsets[e1])
+        ib2 = ib64[xa64[e2]]
+        jj = np.arange(w, dtype=np.int64)
+        loc = np.where(
+            jj[None, :] < boundary[:, None],
+            (s1 % w)[:, None] + jj[None, :],
+            2 * w + (ib2 % w)[:, None] + (jj[None, :] - boundary[:, None]),
+        )
+        loc = np.where(cw[:, None] + jj[None, :] < E, loc, 4 * w)
+        return dict(
+            c1=jnp.asarray((s1 // w).astype(np.int32)),
+            c2=jnp.asarray((ib2 // w).astype(np.int32)),
+            e1=jnp.asarray(e1.astype(np.int32)),
+            e2=jnp.asarray(e2.astype(np.int32)),
+            boundary=jnp.asarray(boundary.astype(np.int32)),
+            local=jnp.asarray(loc.astype(np.int32)),
+            perm=jnp.asarray(order.astype(np.int32)),
+            w=w,
+        )
+
 
 @partial(jax.jit, static_argnums=(3,))
 def _spgemm_planned_vals(vals_a, vals_b, plan_maps, nnz_c: int):
@@ -217,6 +281,49 @@ def _spgemm_planned_vals(vals_a, vals_b, plan_maps, nnz_c: int):
     # dst is sorted at plan time — a sorted segment-sum, not a scatter.
     return jax.ops.segment_sum(prod, dst, num_segments=nnz_c,
                                indices_are_sorted=True)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _spgemm_coalesced_vals(vals_a, vals_b, coal_maps, dst, nnz_c: int,
+                           w: int):
+    """Issue-coalesced numeric phase (see _SpgemmPlan._try_coalesce): the
+    expansion product is computed in SOURCE order from 4 aligned row
+    gathers per chunk + a one-hot select (fused by XLA into the gathers,
+    as measured for the merge kernel), then one permutation gather brings
+    it to destination order for the sorted segment-sum."""
+    c1, c2, e1, e2, boundary, local, perm = coal_maps
+    dtype = jnp.result_type(vals_a, vals_b)
+    nb = vals_b.shape[0]
+    cb = -(-nb // w) if nb else 0
+    zpad = (cb + 2) * w - nb
+    z = jnp.concatenate(
+        [vals_b.astype(dtype), jnp.zeros(zpad, dtype)]).reshape(cb + 2, w)
+    cand = jnp.concatenate(
+        [z[c1], z[c1 + 1], z[c2], z[c2 + 1]], axis=1)       # (nch, 4w)
+    onehot = jax.nn.one_hot(local, 4 * w, dtype=dtype)       # (nch, w, 4w)
+    bsel = jnp.einsum("njt,nt->nj", onehot, cand,
+                      precision=jax.lax.Precision.HIGHEST)
+    va = jnp.where(
+        jnp.arange(w, dtype=jnp.int32)[None, :] < boundary[:, None],
+        vals_a.astype(dtype)[e1][:, None], vals_a.astype(dtype)[e2][:, None])
+    prod = (va * bsel).reshape(-1)[perm]
+    return jax.ops.segment_sum(prod, dst, num_segments=nnz_c,
+                               indices_are_sorted=True)
+
+
+def _plan_numeric(plan: "_SpgemmPlan", vals_a, vals_b):
+    """Run one plan's numeric phase on the configured path."""
+    from ..utils.config import get_config
+
+    coal = plan.coal
+    if coal is not None and get_config().spgemm_numeric == "chunked":
+        maps = (coal["c1"], coal["c2"], coal["e1"], coal["e2"],
+                coal["boundary"], coal["local"], coal["perm"])
+        return _spgemm_coalesced_vals(vals_a, vals_b, maps, plan.dst,
+                                      plan.nnz_c, coal["w"])
+    return _spgemm_planned_vals(vals_a, vals_b,
+                                (plan.dst, plan.src_a, plan.src_b),
+                                plan.nnz_c)
 
 
 class _SpgemmChunkedPlan:
@@ -278,11 +385,8 @@ class _SpgemmChunkedPlan:
         self.rows, self.cols = a.rows, b.cols
 
     def numeric(self, vals_a, vals_b):
-        parts = [
-            _spgemm_planned_vals(vals_a[s:e], vals_b,
-                                 (p.dst, p.src_a, p.src_b), p.nnz_c)
-            for s, e, p in self.chunks
-        ]
+        parts = [_plan_numeric(p, vals_a[s:e], vals_b)
+                 for s, e, p in self.chunks]
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
 
@@ -320,8 +424,6 @@ def spgemm_planned(a: CSR, b: CSR) -> CSR:
     if isinstance(plan, _SpgemmChunkedPlan):
         vals = plan.numeric(a.values, b.values)
     else:
-        vals = _spgemm_planned_vals(
-            a.values, b.values, (plan.dst, plan.src_a, plan.src_b),
-            plan.nnz_c)
+        vals = _plan_numeric(plan, a.values, b.values)
     return CSR(indptr=plan.indptr, indices=plan.indices, values=vals,
                rows=plan.rows, cols=plan.cols)

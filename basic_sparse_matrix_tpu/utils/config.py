@@ -58,6 +58,14 @@ class Config:
     # chip r3 (benchmarks/ss_add_bench.py, reference ss_add workload):
     # chunked w=32 0.19 ms vs planned 7.84 ms (41x) vs scipy 9.2 ms (48x).
     merge_numeric: str = "chunked"
+    # spgemm_planned numeric phase: "chunked" (the merge kernel's
+    # issue-coalescing generalised to Gustavson expansion — source-order
+    # runs served by 4 aligned row gathers + one-hot select, then ONE
+    # permutation gather to destination order; ~2x fewer scalar issues)
+    # or "planned" (two scalar gathers in destination order). "chunked"
+    # silently falls back per plan when any expansion chunk spans >2
+    # matched B rows (short-row operands, where coalescing cannot help).
+    spgemm_numeric: str = "planned"
     # Numerics.
     matmul_precision: str = "highest"  # this env quantizes default matmuls
     solve_dtype: str = "float32"

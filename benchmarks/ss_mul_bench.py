@@ -111,6 +111,69 @@ def main():
     results["tpu_planned_100k_s"] = float(f"{pdt:.4g}")
     results["tpu_planned_vs_scipy"] = float(f"{t_big / pdt:.4g}")
     results["tpu_dense_vs_scipy"] = float(f"{t_ref / mdt:.4g}")
+    results["short_row_coalescible"] = plan.coal is not None  # expect False
+    print(json.dumps({"planned_100k": pdt}), flush=True)
+
+    # Large-n LONG-ROW regime (runs >= w): the issue-coalesced numeric maps
+    # apply. B has exactly 64 entries per row; A is 200k random inserts →
+    # expansion ~12.6M. Head-to-head on the same plan: two scalar gathers
+    # (planned) vs 4-row-gather + one-hot + one permutation (chunked).
+    n_lr = 100_000
+    rng = np.random.default_rng(7000)
+    ra = rng.integers(0, n_lr, 200_000)
+    ca = rng.integers(0, n_lr, 200_000)
+    va = (rng.integers(0, 2**32, 200_000) % 255 + 1).astype(np.float32)
+    rb = np.repeat(np.arange(n_lr), 64)
+    cb = rng.integers(0, n_lr, 64 * n_lr)
+    vb = (rng.integers(0, 2**32, 64 * n_lr) % 255 + 1).astype(np.float32)
+    la = CSR.from_coo_arrays((n_lr, n_lr), ra, ca, va)
+    lb = CSR.from_coo_arrays((n_lr, n_lr), rb, cb, vb)
+
+    import scipy.sparse as sp
+
+    A_ = sp.coo_matrix((va, (ra, ca)), shape=(n_lr, n_lr)).tocsr()
+    B_ = sp.coo_matrix((vb, (rb, cb)), shape=(n_lr, n_lr)).tocsr()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = A_ @ B_
+        best = min(best, time.perf_counter() - t0)
+    results["cpu_scipy_longrow_s"] = float(f"{best:.4g}")
+
+    lplan = _sg._SpgemmPlan(la, lb)
+    results["longrow_expansion"] = lplan.expansion
+    results["longrow_coalescible"] = lplan.coal is not None
+    print(json.dumps({"longrow_plan": results["longrow_expansion"],
+                      "coalescible": results["longrow_coalescible"]}),
+          flush=True)
+
+    def lp_step(operand, carry):
+        out = _sg._spgemm_planned_vals(
+            operand[0].values, carry,
+            (lplan.dst, lplan.src_a, lplan.src_b), lplan.nnz_c)
+        return out[: lb.stored]
+
+    lpdt = measure_loop(make_loop(lp_step), (la,), lb.values, i1=3, i2=23,
+                        reps=2)
+    results["tpu_longrow_planned_s"] = float(f"{lpdt:.4g}")
+    print(json.dumps({"longrow_planned": lpdt}), flush=True)
+
+    if lplan.coal is not None:
+        coal = lplan.coal
+        maps = (coal["c1"], coal["c2"], coal["e1"], coal["e2"],
+                coal["boundary"], coal["local"], coal["perm"])
+
+        def lc_step(operand, carry):
+            out = _sg._spgemm_coalesced_vals(
+                operand[0].values, carry, maps, lplan.dst, lplan.nnz_c,
+                coal["w"])
+            return out[: lb.stored]
+
+        lcdt = measure_loop(make_loop(lc_step), (la,), lb.values, i1=3,
+                            i2=23, reps=2)
+        results["tpu_longrow_chunked_s"] = float(f"{lcdt:.4g}")
+        results["longrow_chunked_vs_planned"] = float(f"{lpdt / lcdt:.4g}")
+        results["longrow_chunked_vs_scipy"] = float(f"{best / lcdt:.4g}")
     print(json.dumps({
         "metric": "ss_mul_head_to_head",
         "results": results,

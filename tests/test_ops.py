@@ -477,3 +477,96 @@ def test_merge_numeric_config_switch(monkeypatch):
     got = np.asarray(ew.add(a2, b).todense())
     assert np.allclose(got, ref, atol=0)
     assert np.allclose(got, A + B, rtol=1e-6, atol=1e-6)
+
+
+def _spgemm_coal_operands(rows=500, b_row_len=64, nnz_a=1000, seed=11):
+    """Operands whose matched B rows are uniformly long, so the coalesced
+    numeric maps apply (every expansion chunk intersects <= 2 runs)."""
+    rng = np.random.default_rng(seed)
+    ra = rng.integers(0, rows, nnz_a)
+    ca = rng.integers(0, rows, nnz_a)
+    va = rng.standard_normal(nnz_a).astype(np.float32)
+    rb = np.repeat(np.arange(rows), b_row_len)
+    cb = np.concatenate([
+        rng.choice(rows, b_row_len, replace=False) for _ in range(rows)])
+    vb = rng.standard_normal(rows * b_row_len).astype(np.float32)
+    a = CSR.from_coo_arrays((rows, rows), ra, ca, va)
+    b = CSR.from_coo_arrays((rows, rows), rb, cb, vb)
+    return a, b
+
+
+def test_spgemm_coalesced_matches_planned():
+    """Issue-coalesced numeric phase (spgemm_numeric=chunked) is exact
+    against the two-gather path and a scipy oracle."""
+    import dataclasses as dc
+
+    import scipy.sparse as sp
+
+    from basic_sparse_matrix_tpu.ops.spgemm import (
+        _plan_numeric,
+        _SpgemmPlan,
+    )
+    from basic_sparse_matrix_tpu.utils.config import (
+        get_config,
+        set_config,
+    )
+
+    a, b = _spgemm_coal_operands()
+    plan = _SpgemmPlan(a, b)
+    assert plan.coal is not None, "operands should be coalescible"
+
+    cfg = get_config()
+    try:
+        set_config(dc.replace(cfg, spgemm_numeric="planned"))
+        v_planned = np.asarray(_plan_numeric(plan, a.values, b.values))
+        set_config(dc.replace(cfg, spgemm_numeric="chunked"))
+        v_chunked = np.asarray(_plan_numeric(plan, a.values, b.values))
+    finally:
+        set_config(cfg)
+
+    assert np.allclose(v_planned, v_chunked, rtol=1e-6, atol=1e-7)
+
+    ia, xa, va = a.numpy()
+    ib, xb, vb = b.numpy()
+    A = sp.csr_matrix((va, xa, ia), shape=(a.rows, a.cols))
+    B = sp.csr_matrix((vb, xb, ib), shape=(b.rows, b.cols))
+    C = sp.csr_matrix((v_chunked, np.asarray(plan.indices),
+                       np.asarray(plan.indptr)), shape=(a.rows, b.cols))
+    assert abs(C - A @ B).max() < 1e-4
+
+
+def test_spgemm_coalesced_fallback_short_rows():
+    """Short matched B rows (runs << w) make chunks span > 2 runs: the
+    plan must decline to coalesce and the chunked config must silently
+    use the standard maps."""
+    import dataclasses as dc
+
+    import scipy.sparse as sp
+
+    from basic_sparse_matrix_tpu.ops.spgemm import _SpgemmPlan, spgemm_planned
+    from basic_sparse_matrix_tpu.utils.config import get_config, set_config
+
+    rng = np.random.default_rng(5)
+    rows, nnz_a = 4000, 20000
+    ra, ca = rng.integers(0, rows, nnz_a), rng.integers(0, rows, nnz_a)
+    va = rng.standard_normal(nnz_a).astype(np.float32)
+    # B: ~2 entries per row → runs of ~2 << w
+    rb, cb = rng.integers(0, rows, 2 * rows), rng.integers(0, rows, 2 * rows)
+    vb = rng.standard_normal(2 * rows).astype(np.float32)
+    a = CSR.from_coo_arrays((rows, rows), ra, ca, va)
+    b = CSR.from_coo_arrays((rows, rows), rb, cb, vb)
+    plan = _SpgemmPlan(a, b)
+    assert plan.expansion >= (1 << 14)   # big enough to want coalescing
+    assert plan.coal is None             # ...but too short-run to get it
+
+    cfg = get_config()
+    try:
+        set_config(dc.replace(cfg, spgemm_numeric="chunked"))
+        out = spgemm_planned(a, b)
+    finally:
+        set_config(cfg)
+    ip, ix, vv = out.numpy()
+    A = sp.coo_matrix((va, (ra, ca)), shape=(rows, rows)).tocsr()
+    B = sp.coo_matrix((vb, (rb, cb)), shape=(rows, rows)).tocsr()
+    C = sp.csr_matrix((vv, ix, ip), shape=(rows, rows))
+    assert abs(C - A @ B).max() < 1e-4
