@@ -27,6 +27,7 @@ scratch slot that is re-zeroed each step.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Tuple
 
 import jax
@@ -472,27 +473,66 @@ def _group_tabs(sched: SupernodalSchedule, gi: int):
 
 
 @jax.jit
+def _init_lvals(sched: SupernodalSchedule, a_values: jax.Array) -> jax.Array:
+    lvals = jnp.zeros(sched.nnz_l + 1, dtype=jnp.float32)
+    return lvals.at[sched.a_src_pos].add(
+        a_values[sched.a_vals_idx].astype(jnp.float32))
+
+
+def _run_group(lvals, tabs, R: int, scratch: int):
+    if tabs[0].shape[0] == 1:
+        return _level_step(lvals, tuple(t[0] for t in tabs), R, scratch)
+    lvals, _ = jax.lax.scan(
+        lambda lv, t, _R=R: (_level_step(lv, t, _R, scratch), None),
+        lvals, tabs)
+    return lvals
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _groups_chunk(lvals, tabs_seq, rmaxs, scratch: int):
+    """One device program covering a bounded slice of the group schedule."""
+    for tabs, R in zip(tabs_seq, rmaxs):
+        lvals = _run_group(lvals, tabs, R, scratch)
+    return lvals
+
+
+@jax.jit
+def _factorize_supernodal_whole(sched: SupernodalSchedule,
+                                a_values: jax.Array) -> jax.Array:
+    lvals = _init_lvals(sched, a_values)
+    scratch = sched.nnz_l
+    for gi in range(len(sched.upd_base)):
+        lvals = _run_group(lvals, _group_tabs(sched, gi),
+                           sched.panel_rmax[gi], scratch)
+    return lvals[:-1]
+
+
 def factorize_supernodal(sched: SupernodalSchedule,
                          a_values: jax.Array) -> jax.Array:
     """Numeric phase; returns L's flat CSC value array (length nnz_l).
-    Unrolled over shape groups, ``lax.scan`` within each group — one device
-    program whose graph size is O(#distinct level shapes)."""
-    lvals = jnp.zeros(sched.nnz_l + 1, dtype=jnp.float32)
-    lvals = lvals.at[sched.a_src_pos].add(
-        a_values[sched.a_vals_idx].astype(jnp.float32))
+    Unrolled over shape groups, ``lax.scan`` within each group — graph size
+    O(#distinct level shapes). Schedules whose group count exceeds
+    ``config.supernodal_groups_per_program`` are executed as a sequence of
+    bounded device programs with ``lvals`` device-resident between them
+    (dispatch pipelines asynchronously): the n=35937 3D-ND schedule's 263
+    heterogeneous groups, compiled as ONE program, OOM-killed the XLA
+    compile process — program size must stay bounded as n grows. Under an
+    outer trace (e.g. a timing fori_loop) the whole-program form is used
+    regardless, since a host-side chunk loop cannot run inside jit."""
+    from ..utils.config import get_config
 
+    n_g = len(sched.upd_base)
+    G = get_config().supernodal_groups_per_program
+    if (not G or n_g <= G
+            or isinstance(a_values, jax.core.Tracer)):
+        return _factorize_supernodal_whole(sched, a_values)
+    lvals = _init_lvals(sched, a_values)
     scratch = sched.nnz_l
-    for gi in range(len(sched.upd_base)):
-        tabs = _group_tabs(sched, gi)
-        R = sched.panel_rmax[gi]
-        if tabs[0].shape[0] == 1:
-            lvals = _level_step(lvals, tuple(t[0] for t in tabs), R,
-                                scratch)
-        else:
-            lvals, _ = jax.lax.scan(
-                lambda lv, t, _R=R: (_level_step(lv, t, _R, scratch), None),
-                lvals, tabs)
-
+    for c0 in range(0, n_g, G):
+        gis = range(c0, min(c0 + G, n_g))
+        tabs_seq = tuple(_group_tabs(sched, gi) for gi in gis)
+        rmaxs = tuple(sched.panel_rmax[gi] for gi in gis)
+        lvals = _groups_chunk(lvals, tabs_seq, rmaxs, scratch)
     return lvals[:-1]
 
 

@@ -34,6 +34,12 @@ class Config:
     dense_cholesky_max_n: int = 2048
     dense_cholesky_min_density: float = 0.05
     supernodal_relax: int = 8       # per-panel padding budget (amalgamation)
+    # Max schedule groups compiled into one supernodal numeric program;
+    # larger schedules run as a sequence of bounded programs with the
+    # factor values device-resident (the 263-group n=35937 3D-ND schedule
+    # OOM-killed the XLA compile process as a single program). 0 = always
+    # one program.
+    supernodal_groups_per_program: int = 48
     ordering: str = "auto"          # fill ordering: auto|rcm|nd|natural
     # Banded (block-tridiagonal) factorization dispatch: used when the
     # (reordered) half-bandwidth fits a block size <= banded_max_block and

@@ -184,3 +184,26 @@ def test_small_n_uint16_tables():
     )
     lv32 = np.asarray(factorize_supernodal(wide, a.values))
     assert np.array_equal(lv16, lv32)
+
+
+def test_chunked_program_execution_matches_whole():
+    """Group-chunked execution (supernodal_groups_per_program) is bitwise
+    equal to the single-program form."""
+    import dataclasses as dc
+
+    from basic_sparse_matrix_tpu.models.supernodal import (
+        _factorize_supernodal_whole,
+    )
+    from basic_sparse_matrix_tpu.utils.config import get_config, set_config
+
+    a = CSR.from_dense(_lap2d(7))
+    sched = analyze_supernodal(a, relax=4)
+    assert len(sched.upd_base) >= 3, "want a multi-group schedule"
+    whole = np.asarray(_factorize_supernodal_whole(sched, a.values))
+    cfg = get_config()
+    try:
+        set_config(dc.replace(cfg, supernodal_groups_per_program=2))
+        chunked = np.asarray(factorize_supernodal(sched, a.values))
+    finally:
+        set_config(cfg)
+    assert np.array_equal(whole, chunked)
