@@ -1,0 +1,188 @@
+"""VMEM-streaming SpMM kernel — the hypersparse formulation that beats the
+random-gather issue bound.
+
+The gather formulation of hypersparse SpMM (``ops.ell``) is bound by the
+chip's random-row-gather ISSUE rate (~23 ns per row, ~86 GB/s useful —
+PERF_NOTES), because every stored entry turns into one random HBM read of a
+B row. This kernel inverts the dataflow so NOTHING random touches HBM:
+
+* the output C is tiled ``(tile_m, n)`` and each tile stays RESIDENT in
+  VMEM across the contraction;
+* B streams through VMEM in ``(tile_k, n)`` tiles, sequentially — HBM sees
+  only streaming reads at the ~707 GB/s triad rate;
+* the per-entry work ``C[i_loc, :] += v * B[k_loc, :]`` is a dynamic-index
+  VMEM load-FMA-store, measured at **1.456 ns/entry** at 128 lanes on this
+  chip (``benchmarks/entry_fma_probe.py``) — far under the ~23 ns gather
+  issue it replaces.
+
+Host plan (:func:`build_stream_plan`, memoised per matrix): entries are
+binned by ``(row tile, k tile)`` cell, padded per cell to the max cell
+population with ``(i=0, k=0, v=0)`` sentinels (adding zero to row 0 — no
+scratch row needed), and laid out as ``(ncells, cellmax)`` arrays. Local
+indices ride in SMEM; the fori_loop trip count is the static ``cellmax``
+(sentinel iterations are cheaper than a scalar-prefetch dynamic bound).
+
+Grid ``(rt, kt)`` with kt innermost: the C tile is zeroed at ``kt == 0``
+and revisited across the kt sweep; B tiles double-buffer behind compute.
+Reference workload: the 1M-row SpMM roofline config (BASELINE.md config 3),
+reference bench ``/root/reference/benches/sparse_dense_mul.rs`` scaled up.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE_M = 2048
+DEFAULT_TILE_K = 2048
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StreamPlan:
+    """Cell-binned entry layout for the streaming kernel."""
+
+    ii: jax.Array        # (ncells, cellmax) int32 — row index local to tile
+    kk: jax.Array        # (ncells, cellmax) int32 — col index local to tile
+    vv: jax.Array        # (ncells, cellmax) f32  — entry value (0 = sentinel)
+    rows: int = dataclasses.field(metadata=dict(static=True))
+    cols: int = dataclasses.field(metadata=dict(static=True))
+    tile_m: int = dataclasses.field(metadata=dict(static=True))
+    tile_k: int = dataclasses.field(metadata=dict(static=True))
+    n_rt: int = dataclasses.field(metadata=dict(static=True))
+    n_kt: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def cellmax(self) -> int:
+        return int(self.ii.shape[1])
+
+    @property
+    def pad_factor(self) -> float:
+        return self.ii.shape[0] * self.ii.shape[1] / max(self.nnz, 1)
+
+
+def build_stream_plan(rows_idx: np.ndarray, cols_idx: np.ndarray,
+                      vals: np.ndarray, rows: int, cols: int,
+                      tile_m: int = DEFAULT_TILE_M,
+                      tile_k: int = DEFAULT_TILE_K) -> StreamPlan:
+    """Bin entries by (row tile, k tile) cell (host, O(nnz log nnz), done
+    once per matrix). Zero-valued entries are dropped (they include ELL
+    padding slots)."""
+    rows_idx = np.asarray(rows_idx).ravel()
+    cols_idx = np.asarray(cols_idx).ravel()
+    vals = np.asarray(vals).ravel()
+    live = vals != 0
+    rows_idx, cols_idx, vals = rows_idx[live], cols_idx[live], vals[live]
+    nnz = vals.shape[0]
+    n_rt = max(-(-rows // tile_m), 1)
+    n_kt = max(-(-cols // tile_k), 1)
+    cell = (rows_idx // tile_m).astype(np.int64) * n_kt \
+        + cols_idx // tile_k
+    order = np.argsort(cell, kind="stable")
+    cell = cell[order]
+    counts = np.bincount(cell, minlength=n_rt * n_kt)
+    cellmax = max(int(counts.max()) if nnz else 0, 1)
+    cellmax = -(-cellmax // 4) * 4   # support loop unroll factors up to 4
+    ncells = n_rt * n_kt
+    slot = np.arange(nnz) - np.concatenate(
+        [[0], np.cumsum(counts)])[cell]
+    ii = np.zeros((ncells, cellmax), dtype=np.int32)
+    kk = np.zeros((ncells, cellmax), dtype=np.int32)
+    vv = np.zeros((ncells, cellmax), dtype=vals.dtype)
+    ii[cell, slot] = (rows_idx[order] % tile_m).astype(np.int32)
+    kk[cell, slot] = (cols_idx[order] % tile_k).astype(np.int32)
+    vv[cell, slot] = vals[order]
+    return StreamPlan(
+        ii=jnp.asarray(ii), kk=jnp.asarray(kk), vv=jnp.asarray(vv),
+        rows=rows, cols=cols, tile_m=tile_m, tile_k=tile_k,
+        n_rt=n_rt, n_kt=n_kt, nnz=nnz)
+
+
+def _make_stream_kernel(cellmax: int, unroll: int):
+    def kernel(ii_ref, kk_ref, vv_ref, b_ref, o_ref):
+        kt = pl.program_id(1)
+
+        @pl.when(kt == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        def body(e, _):
+            for u in range(unroll):
+                i = ii_ref[0, e * unroll + u]
+                k = kk_ref[0, e * unroll + u]
+                v = vv_ref[0, e * unroll + u]
+                o_ref[pl.ds(i, 1), :] += v * b_ref[pl.ds(k, 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, cellmax // unroll, body, 0, unroll=False)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _spmm_stream(plan: StreamPlan, b_padded: jax.Array,
+                 unroll: int) -> jax.Array:
+    tm, tk = plan.tile_m, plan.tile_k
+    n = b_padded.shape[1]
+    cellmax = plan.cellmax
+    grid = (plan.n_rt, plan.n_kt)
+    nkt = plan.n_kt
+    cell_spec = pl.BlockSpec((1, cellmax),
+                             lambda rt, kt: (rt * nkt + kt, 0),
+                             memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        _make_stream_kernel(cellmax, unroll),
+        grid=grid,
+        in_specs=[
+            cell_spec,
+            cell_spec,
+            cell_spec,
+            pl.BlockSpec((tk, n), lambda rt, kt: (kt, 0)),
+        ],
+        out_specs=pl.BlockSpec((tm, n), lambda rt, kt: (rt, 0)),
+        out_shape=jax.ShapeDtypeStruct((plan.n_rt * tm, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * plan.nnz * n,
+            bytes_accessed=plan.n_rt * plan.n_kt * tk * n * 4
+            + plan.n_rt * tm * n * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(plan.ii, plan.kk, plan.vv, b_padded)
+    return out
+
+
+def spmm_stream(plan: StreamPlan, b: jax.Array,
+                unroll: int = 1) -> jax.Array:
+    """SpMM against a pre-binned streaming plan. Pads B to tile/lane
+    multiples, runs the kernel, slices the true output."""
+    k_pad = plan.n_kt * plan.tile_k - b.shape[0]
+    n_pad = (-b.shape[1]) % 128
+    b_padded = jnp.pad(b.astype(jnp.float32), ((0, k_pad), (0, n_pad)))
+    out = _spmm_stream(plan, b_padded, unroll)
+    return out[: plan.rows, : b.shape[1]]
+
+
+def stream_plan_from_ell(ell) -> StreamPlan:
+    """Build (and memoise on the ELL instance) a streaming plan."""
+    plan = getattr(ell, "_stream_plan", None)
+    if plan is None:
+        cols = np.asarray(jax.device_get(ell.cols))
+        vals = np.asarray(jax.device_get(ell.vals))
+        rows = np.repeat(np.arange(ell.n_rows), cols.shape[1])
+        plan = build_stream_plan(rows, cols.ravel(), vals.ravel(),
+                                 ell.n_rows, ell.n_cols)
+        object.__setattr__(ell, "_stream_plan", plan)
+    return plan

@@ -82,3 +82,45 @@ def test_profitability_heuristic():
     a = CSR.from_dense(dense_d)
     # on CPU backends the kernel runs interpreted → never "profitable"
     assert bsr_profitable(a, 128) == (jax.default_backend() == "tpu")
+
+
+def test_stream_kernel_matches_dense_oracle():
+    """VMEM-streaming SpMM (interpret mode on CPU): cell binning, sentinel
+    padding, kt-sweep accumulation, and loop unrolling are all exact."""
+    import jax.numpy as jnp
+
+    from basic_sparse_matrix_tpu.ops.pallas.stream_kernel import (
+        build_stream_plan,
+        spmm_stream,
+    )
+
+    rng = np.random.default_rng(7)
+    rows, cols_n, nnz, N = 200, 300, 1500, 24
+    ri = rng.integers(0, rows, nnz)
+    ci = rng.integers(0, cols_n, nnz)
+    v = rng.standard_normal(nnz).astype(np.float32)
+    v[::17] = 0.0  # explicit zeros must be dropped like ELL padding
+    b = rng.standard_normal((cols_n, N)).astype(np.float32)
+    plan = build_stream_plan(ri, ci, v, rows, cols_n, tile_m=64, tile_k=32)
+    dense = np.zeros((rows, cols_n), np.float32)
+    np.add.at(dense, (ri, ci), v)
+    ref = dense @ b
+    for unroll in (1, 2, 4):
+        out = np.asarray(spmm_stream(plan, jnp.asarray(b), unroll=unroll))
+        assert np.abs(out - ref).max() < 1e-4, unroll
+
+
+def test_stream_plan_from_ell_memoised():
+    from basic_sparse_matrix_tpu.ops.ell import csr_to_ell
+    from basic_sparse_matrix_tpu.ops.pallas.stream_kernel import (
+        stream_plan_from_ell,
+    )
+
+    rng = np.random.default_rng(3)
+    d = ((rng.random((100, 100)) < 0.05)
+         * rng.standard_normal((100, 100))).astype(np.float32)
+    ell = csr_to_ell(CSR.from_dense(d))
+    p1 = stream_plan_from_ell(ell)
+    p2 = stream_plan_from_ell(ell)
+    assert p1 is p2
+    assert p1.nnz == int((d != 0).sum())
