@@ -202,9 +202,26 @@ def ell_overhead(a: CSR) -> float:
 
 
 def spmm_ell_from_csr(a: CSR, b: jax.Array) -> jax.Array:
-    """CSR entry point with memoised ELL conversion."""
+    """CSR entry point with memoised ELL conversion. On real TPU backends
+    with concrete operands, config ``ell_stream="on"`` routes wide-RHS
+    hypersparse shapes to the VMEM-streaming pallas kernel
+    (:mod:`ops.pallas.stream_kernel`), which beats the gather issue bound;
+    the plan is memoised on the ELL instance."""
     ell = getattr(a, "_ell_cache", None)
     if ell is None:
         ell = csr_to_ell(a)
         object.__setattr__(a, "_ell_cache", ell)
+    from ..utils.config import get_config
+
+    cfg = get_config()
+    if (cfg.ell_stream == "on"
+            and jax.default_backend() == "tpu"
+            and not isinstance(b, jax.core.Tracer)
+            and not isinstance(ell.vals, jax.core.Tracer)
+            and b.shape[1] >= 128
+            and a.stored >= (1 << 18)):
+        from .pallas.stream_kernel import spmm_stream, stream_plan_from_ell
+
+        plan = stream_plan_from_ell(ell)
+        return spmm_stream(plan, b, unroll=cfg.ell_stream_unroll)
     return spmm_ell(ell, b)

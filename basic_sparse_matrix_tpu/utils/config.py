@@ -31,6 +31,12 @@ class Config:
     # Opt-in: gather RHS rows in bfloat16 (f32 accumulate) on the barriered
     # hypersparse path — +23% measured at 1M×32×512, B-quantisation cost.
     ell_gather_bf16: int = 0
+    # VMEM-streaming SpMM kernel (ops.pallas.stream_kernel) for concrete
+    # hypersparse operands with wide RHS on real TPUs: "on" | "off".
+    # Off until the on-chip head-to-head (benchmarks/stream_spmm_bench.py)
+    # confirms the issue-arithmetic prediction.
+    ell_stream: str = "off"
+    ell_stream_unroll: int = 1
     dense_cholesky_max_n: int = 2048
     dense_cholesky_min_density: float = 0.05
     supernodal_relax: int = 8       # per-panel padding budget (amalgamation)
