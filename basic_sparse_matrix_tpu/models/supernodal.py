@@ -133,6 +133,55 @@ def _upd_positions(base, meta, irows, ibelow, jrows, jcp, scratch):
     return ga, gb, sc
 
 
+def _win(lvals, starts, L: int):
+    """Batched contiguous-window gather: one gather issue per start
+    (lowered from vmapped dynamic_slice) instead of one per ELEMENT —
+    the supernodal numeric phase's gathers are all ``base + rank`` runs,
+    so this replaces U·I·W scalar issues with U·W."""
+    return jax.vmap(jax.vmap(
+        lambda s: jax.lax.dynamic_slice(lvals, (s,), (L,))))(starts)
+
+
+def _upd_windows(lvals, base, meta, scratch, I: int, J: int):
+    """Window-gather form of the update reads (A, B operands of the level
+    einsum). ``lvals`` must carry >= max(I, J) zero padding past the
+    scratch slot so clamped slices stay in the pad; lanes beyond each
+    update's (ni, nj) or on padded columns are masked to zero (window
+    spill past a short source run is masked the same way)."""
+    ni = meta[:, 0]
+    nj = meta[:, 1]
+    vb = base != scratch
+    ii = jnp.arange(I, dtype=jnp.int32)
+    jj = jnp.arange(J, dtype=jnp.int32)
+    A = jnp.swapaxes(_win(lvals, base, I), 1, 2)          # (U, I, W)
+    A = jnp.where((ii[None, :, None] < ni[:, None, None])
+                  & vb[:, None, :], A, 0.0)
+    B = jnp.swapaxes(_win(lvals, base, J), 1, 2)          # (U, J, W)
+    B = jnp.where((jj[None, :, None] < nj[:, None, None])
+                  & vb[:, None, :], B, 0.0)
+    return A, B
+
+
+def _panel_windows(lvals, cp, tv, r_tab, R: int):
+    """Window-gather form of the panel reads (top triangle + below block).
+    T[s, i, j] = lvals[cp[s, j] + i - j] → per-(s, j) window at cp - j;
+    B[s, r, j] = lvals[cp[s, j] + w_s - j + r] → window at cp + w_s - j."""
+    S, W = cp.shape
+    il = jnp.arange(W, dtype=jnp.int32)
+    w = tv.sum(axis=-1).astype(jnp.int32)
+    T = jnp.swapaxes(_win(lvals, cp - il[None, :], W), 1, 2)   # (S, i, j)
+    tri = tv[:, :, None] & tv[:, None, :] & (
+        il[:, None] >= il[None, :])[None]
+    T = jnp.where(tri, T, 0.0)
+    Bp = jnp.swapaxes(
+        _win(lvals, cp + w[:, None] - il[None, :], R), 1, 2)   # (S, R, W)
+    bmask = tv[:, None, :] & (
+        jnp.arange(R, dtype=jnp.int32)[None, :, None]
+        < r_tab[:, None, None])
+    Bp = jnp.where(bmask, Bp, 0.0)
+    return T, Bp
+
+
 def _panel_positions(cp, r_tab, tv, R, scratch):
     """Rebuild the (S, W, W) top-triangle and (S, R, W) below-block
     position arrays from per-panel col_ptr vectors (affine in both
@@ -431,31 +480,43 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
     return sched
 
 
-def _level_step(lvals, tabs, R: int, scratch: int):
+def _level_step(lvals, tabs, R: int, scratch: int, window: bool = False):
     """One fan-in level: batched MXU panel updates + panel finalisation.
     ``tabs`` holds the COMPACT per-level tables; the full position arrays
     are rebuilt in-register (integer VPU work instead of 3 GB-scale HBM
-    table reads — see _upd_positions/_panel_positions)."""
+    table reads — see _upd_positions/_panel_positions). With
+    ``window=True`` (config ``supernodal_gather="window"``) the READS use
+    one gather issue per contiguous run instead of per element
+    (U·W + S·W·2 issues vs U·(I+J)·W + S·W·(W+R)); the scatters keep
+    element positions."""
     base, meta, irows, ibelow, jrows, jcp, cp, r_tab, tv = tabs
+    I = irows.shape[1]
+    J = jrows.shape[1]
     ga, gb, sc = _upd_positions(base, meta, irows, ibelow, jrows, jcp,
                                 scratch)
     # 1) batched panel-outer-product updates on the MXU
-    A = lvals[ga]                              # (U, I, W)
-    B = lvals[gb]                              # (U, J, W)
+    if window:
+        A, B = _upd_windows(lvals, base, meta, scratch, I, J)
+    else:
+        A = lvals[ga]                          # (U, I, W)
+        B = lvals[gb]                          # (U, J, W)
     U = jnp.einsum("uiw,ujw->uij", A, B,
                    precision=jax.lax.Precision.HIGHEST)
     lvals = lvals.at[sc].add(-U)
-    lvals = lvals.at[-1].set(0.0)
+    lvals = lvals.at[scratch].set(0.0)
 
     # 2) batched panel finalisation
     tp, bp = _panel_positions(cp, r_tab, tv, R, scratch)
-    T = lvals[tp]                              # (S, W, W) lower part
+    if window:
+        T, Bp = _panel_windows(lvals, cp, tv, r_tab, R)
+    else:
+        T = lvals[tp]                          # (S, W, W) lower part
+        Bp = lvals[bp]                         # (S, R, W)
     eye = jnp.eye(T.shape[-1], dtype=T.dtype)
     # make padded columns well-posed: unit diagonal, zero elsewhere
     Tsym = T + jnp.where(tv[:, :, None] & tv[:, None, :], 0.0, eye)
     Lt = jnp.linalg.cholesky(
         Tsym + jnp.triu(jnp.swapaxes(Tsym, 1, 2), 1))
-    Bp = lvals[bp]                             # (S, R, W)
     # solve Bp_new·Ltᵀ = Bp → Bp_new = Bp·Lt^{-T}
     Bn = jax.scipy.linalg.solve_triangular(
         Lt, jnp.swapaxes(Bp, 1, 2), lower=True)
@@ -463,7 +524,7 @@ def _level_step(lvals, tabs, R: int, scratch: int):
     lvals = lvals.at[tp].set(
         jnp.where(jnp.isfinite(Lt), jnp.tril(Lt), 0.0), mode="drop")
     lvals = lvals.at[bp].set(Bn, mode="drop")
-    return lvals.at[-1].set(0.0)
+    return lvals.at[scratch].set(0.0)
 
 
 def _group_tabs(sched: SupernodalSchedule, gi: int):
@@ -472,39 +533,56 @@ def _group_tabs(sched: SupernodalSchedule, gi: int):
             sched.panel_cp[gi], sched.panel_r[gi], sched.top_valid[gi])
 
 
-@jax.jit
-def _init_lvals(sched: SupernodalSchedule, a_values: jax.Array) -> jax.Array:
-    lvals = jnp.zeros(sched.nnz_l + 1, dtype=jnp.float32)
+def _win_pad(sched: SupernodalSchedule) -> int:
+    """Zero padding past the scratch slot so window gathers never clamp
+    into live data: the longest window any group issues."""
+    pad = 1
+    for gi in range(len(sched.upd_base)):
+        tabs = _group_tabs(sched, gi)
+        pad = max(pad, tabs[2].shape[2], tabs[4].shape[2],
+                  tabs[6].shape[2], sched.panel_rmax[gi])
+    return pad
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _init_lvals(sched: SupernodalSchedule, a_values: jax.Array,
+                pad: int = 1) -> jax.Array:
+    lvals = jnp.zeros(sched.nnz_l + pad, dtype=jnp.float32)
     return lvals.at[sched.a_src_pos].add(
         a_values[sched.a_vals_idx].astype(jnp.float32))
 
 
-def _run_group(lvals, tabs, R: int, scratch: int):
+def _run_group(lvals, tabs, R: int, scratch: int, window: bool):
     if tabs[0].shape[0] == 1:
-        return _level_step(lvals, tuple(t[0] for t in tabs), R, scratch)
+        return _level_step(lvals, tuple(t[0] for t in tabs), R, scratch,
+                           window)
     lvals, _ = jax.lax.scan(
-        lambda lv, t, _R=R: (_level_step(lv, t, _R, scratch), None),
+        lambda lv, t, _R=R: (_level_step(lv, t, _R, scratch, window),
+                             None),
         lvals, tabs)
     return lvals
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _groups_chunk(lvals, tabs_seq, rmaxs, scratch: int):
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _groups_chunk(lvals, tabs_seq, rmaxs, scratch: int,
+                  window: bool = False):
     """One device program covering a bounded slice of the group schedule."""
     for tabs, R in zip(tabs_seq, rmaxs):
-        lvals = _run_group(lvals, tabs, R, scratch)
+        lvals = _run_group(lvals, tabs, R, scratch, window)
     return lvals
 
 
-@jax.jit
+@partial(jax.jit, static_argnums=(2,))
 def _factorize_supernodal_whole(sched: SupernodalSchedule,
-                                a_values: jax.Array) -> jax.Array:
-    lvals = _init_lvals(sched, a_values)
+                                a_values: jax.Array,
+                                window: bool = False) -> jax.Array:
+    pad = 1 + (_win_pad(sched) if window else 0)
+    lvals = _init_lvals(sched, a_values, pad)
     scratch = sched.nnz_l
     for gi in range(len(sched.upd_base)):
         lvals = _run_group(lvals, _group_tabs(sched, gi),
-                           sched.panel_rmax[gi], scratch)
-    return lvals[:-1]
+                           sched.panel_rmax[gi], scratch, window)
+    return lvals[: sched.nnz_l]
 
 
 def factorize_supernodal(sched: SupernodalSchedule,
@@ -521,19 +599,22 @@ def factorize_supernodal(sched: SupernodalSchedule,
     regardless, since a host-side chunk loop cannot run inside jit."""
     from ..utils.config import get_config
 
+    cfg = get_config()
+    window = cfg.supernodal_gather == "window"
     n_g = len(sched.upd_base)
-    G = get_config().supernodal_groups_per_program
+    G = cfg.supernodal_groups_per_program
     if (not G or n_g <= G
             or isinstance(a_values, jax.core.Tracer)):
-        return _factorize_supernodal_whole(sched, a_values)
-    lvals = _init_lvals(sched, a_values)
+        return _factorize_supernodal_whole(sched, a_values, window)
+    pad = 1 + (_win_pad(sched) if window else 0)
+    lvals = _init_lvals(sched, a_values, pad)
     scratch = sched.nnz_l
     for c0 in range(0, n_g, G):
         gis = range(c0, min(c0 + G, n_g))
         tabs_seq = tuple(_group_tabs(sched, gi) for gi in gis)
         rmaxs = tuple(sched.panel_rmax[gi] for gi in gis)
-        lvals = _groups_chunk(lvals, tabs_seq, rmaxs, scratch)
-    return lvals[:-1]
+        lvals = _groups_chunk(lvals, tabs_seq, rmaxs, scratch, window)
+    return lvals[: sched.nnz_l]
 
 
 def assemble_factor(a: CSR, lvals: np.ndarray,

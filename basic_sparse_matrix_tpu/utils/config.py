@@ -46,6 +46,12 @@ class Config:
     # OOM-killed the XLA compile process as a single program). 0 = always
     # one program.
     supernodal_groups_per_program: int = 48
+    # Supernodal numeric READS: "element" (positions rebuilt in-register,
+    # one scalar gather per element) or "window" (one dynamic-slice issue
+    # per contiguous base+rank run — U·W instead of U·(I+J)·W issues; the
+    # scalar-gather issue rate is what bounds the phase at n=36k).
+    # Flip after benchmarks/level_step_probe.py confirms on chip.
+    supernodal_gather: str = "element"
     ordering: str = "auto"          # fill ordering: auto|rcm|nd|natural
     # Banded (block-tridiagonal) factorization dispatch: used when the
     # (reordered) half-bandwidth fits a block size <= banded_max_block and

@@ -207,3 +207,41 @@ def test_chunked_program_execution_matches_whole():
     finally:
         set_config(cfg)
     assert np.array_equal(whole, chunked)
+
+
+def test_window_gather_matches_element():
+    """supernodal_gather="window" (one dynamic-slice issue per contiguous
+    run) is bitwise-equal to the element-gather path."""
+    import dataclasses as dc
+
+    from basic_sparse_matrix_tpu.models.supernodal import (
+        _factorize_supernodal_whole,
+    )
+    from basic_sparse_matrix_tpu.ops.reorder import (
+        nd_permutation,
+        permute_symmetric,
+    )
+    from basic_sparse_matrix_tpu.utils.config import get_config, set_config
+
+    for relax in (0, 8):
+        a = CSR.from_dense(_lap2d(9))
+        ap = permute_symmetric(a, nd_permutation(a))
+        sched = analyze_supernodal(ap, relax=relax)
+        elem = np.asarray(
+            _factorize_supernodal_whole(sched, ap.values, False))
+        win = np.asarray(
+            _factorize_supernodal_whole(sched, ap.values, True))
+        # identical math; XLA fuses the window masks into the einsum
+        # differently, so agreement is to the ulp, not bitwise
+        np.testing.assert_allclose(elem, win, rtol=1e-6, atol=1e-8,
+                                   err_msg=str(relax))
+
+    # ...and through the public wrapper + chunked programs.
+    cfg = get_config()
+    try:
+        set_config(dc.replace(cfg, supernodal_gather="window",
+                              supernodal_groups_per_program=2))
+        chunked_win = np.asarray(factorize_supernodal(sched, ap.values))
+    finally:
+        set_config(cfg)
+    assert np.array_equal(chunked_win, win)
