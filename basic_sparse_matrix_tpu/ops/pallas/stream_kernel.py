@@ -53,9 +53,9 @@ def _interpret() -> bool:
 class StreamPlan:
     """Cell-binned entry layout for the streaming kernel."""
 
-    ii: jax.Array        # (ncells, cellmax) int32 — row index local to tile
-    kk: jax.Array        # (ncells, cellmax) int32 — col index local to tile
-    vv: jax.Array        # (ncells, cellmax) f32  — entry value (0 = sentinel)
+    ii: jax.Array        # (ncells, 1, cellmax) int32 — tile-local row index
+    kk: jax.Array        # (ncells, 1, cellmax) int32 — tile-local col index
+    vv: jax.Array        # (ncells, 1, cellmax) f32 — value (0 = sentinel)
     rows: int = dataclasses.field(metadata=dict(static=True))
     cols: int = dataclasses.field(metadata=dict(static=True))
     tile_m: int = dataclasses.field(metadata=dict(static=True))
@@ -66,11 +66,11 @@ class StreamPlan:
 
     @property
     def cellmax(self) -> int:
-        return int(self.ii.shape[1])
+        return int(self.ii.shape[-1])
 
     @property
     def pad_factor(self) -> float:
-        return self.ii.shape[0] * self.ii.shape[1] / max(self.nnz, 1)
+        return self.ii.shape[0] * self.ii.shape[-1] / max(self.nnz, 1)
 
 
 def build_stream_plan(rows_idx: np.ndarray, cols_idx: np.ndarray,
@@ -98,12 +98,16 @@ def build_stream_plan(rows_idx: np.ndarray, cols_idx: np.ndarray,
     ncells = n_rt * n_kt
     slot = np.arange(nnz) - np.concatenate(
         [[0], np.cumsum(counts)])[cell]
-    ii = np.zeros((ncells, cellmax), dtype=np.int32)
-    kk = np.zeros((ncells, cellmax), dtype=np.int32)
-    vv = np.zeros((ncells, cellmax), dtype=vals.dtype)
-    ii[cell, slot] = (rows_idx[order] % tile_m).astype(np.int32)
-    kk[cell, slot] = (cols_idx[order] % tile_k).astype(np.int32)
-    vv[cell, slot] = vals[order]
+    # (ncells, 1, cellmax): Mosaic requires a block's last TWO dims to be
+    # 8/128-divisible or equal to the array's — (1, cellmax) blocks of a
+    # 2D (ncells, cellmax) array violate that; a singleton middle axis
+    # makes the block's trailing dims exactly the array's.
+    ii = np.zeros((ncells, 1, cellmax), dtype=np.int32)
+    kk = np.zeros((ncells, 1, cellmax), dtype=np.int32)
+    vv = np.zeros((ncells, 1, cellmax), dtype=vals.dtype)
+    ii[cell, 0, slot] = (rows_idx[order] % tile_m).astype(np.int32)
+    kk[cell, 0, slot] = (cols_idx[order] % tile_k).astype(np.int32)
+    vv[cell, 0, slot] = vals[order]
     return StreamPlan(
         ii=jnp.asarray(ii), kk=jnp.asarray(kk), vv=jnp.asarray(vv),
         rows=rows, cols=cols, tile_m=tile_m, tile_k=tile_k,
@@ -120,9 +124,9 @@ def _make_stream_kernel(cellmax: int, unroll: int):
 
         def body(e, _):
             for u in range(unroll):
-                i = ii_ref[0, e * unroll + u]
-                k = kk_ref[0, e * unroll + u]
-                v = vv_ref[0, e * unroll + u]
+                i = ii_ref[0, 0, e * unroll + u]
+                k = kk_ref[0, 0, e * unroll + u]
+                v = vv_ref[0, 0, e * unroll + u]
                 o_ref[pl.ds(i, 1), :] += v * b_ref[pl.ds(k, 1), :]
             return 0
 
@@ -139,8 +143,8 @@ def _spmm_stream(plan: StreamPlan, b_padded: jax.Array,
     cellmax = plan.cellmax
     grid = (plan.n_rt, plan.n_kt)
     nkt = plan.n_kt
-    cell_spec = pl.BlockSpec((1, cellmax),
-                             lambda rt, kt: (rt * nkt + kt, 0),
+    cell_spec = pl.BlockSpec((1, 1, cellmax),
+                             lambda rt, kt: (rt * nkt + kt, 0, 0),
                              memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         _make_stream_kernel(cellmax, unroll),
