@@ -27,7 +27,8 @@ def main():
     ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--per-row", type=int, default=32)
     ap.add_argument("--n-rhs", type=int, default=512)
-    ap.add_argument("--tiles", type=str, default="2048,1024")
+    ap.add_argument("--tiles", type=str, default="2048,1024",
+                    help="tile_m[xtile_k] list, e.g. 4096x1024,2048")
     ap.add_argument("--unrolls", type=str, default="1,2,4")
     ap.add_argument("--skip-ell", action="store_true")
     args = ap.parse_args()
@@ -76,10 +77,12 @@ def main():
     else:
         oracle = None
 
-    for tile in (int(t) for t in args.tiles.split(",")):
+    for spec in args.tiles.split(","):
+        tm, _, tk = spec.partition("x")
+        tile_m, tile_k = int(tm), int(tk or tm)
         plan = build_stream_plan(ri, ci.ravel(), v.ravel(), rows, rows,
-                                 tile_m=tile, tile_k=tile)
-        key = f"t{tile}"
+                                 tile_m=tile_m, tile_k=tile_k)
+        key = f"t{tile_m}x{tile_k}"
         results[f"{key}_pad_factor"] = float(f"{plan.pad_factor:.4g}")
         if oracle is not None:
             out = spmm_stream(plan, b)
