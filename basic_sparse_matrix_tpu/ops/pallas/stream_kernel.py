@@ -94,7 +94,7 @@ def build_stream_plan(rows_idx: np.ndarray, cols_idx: np.ndarray,
     cell = cell[order]
     counts = np.bincount(cell, minlength=n_rt * n_kt)
     cellmax = max(int(counts.max()) if nnz else 0, 1)
-    cellmax = -(-cellmax // 8) * 8   # support loop unroll factors up to 8
+    cellmax = -(-cellmax // 16) * 16   # support loop unrolls up to 16
     ncells = n_rt * n_kt
     slot = np.arange(nnz) - np.concatenate(
         [[0], np.cumsum(counts)])[cell]

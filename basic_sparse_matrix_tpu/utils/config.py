@@ -33,10 +33,14 @@ class Config:
     ell_gather_bf16: int = 0
     # VMEM-streaming SpMM kernel (ops.pallas.stream_kernel) for concrete
     # hypersparse operands with wide RHS on real TPUs: "on" | "off".
-    # Off until the on-chip head-to-head (benchmarks/stream_spmm_bench.py)
-    # confirms the issue-arithmetic prediction.
-    ell_stream: str = "off"
-    ell_stream_unroll: int = 1
+    # On-chip head-to-head r3 (benchmarks/stream_spmm_bench.py, 100k rows
+    # x 32/row x 512 RHS): 26.1 ms vs 34.0 ms ELL gather path (1.30x,
+    # roofline fraction 0.243 -> 0.32). The gain is bounded by the
+    # per-entry VMEM row FMA issue cost at 512 lanes (~4 vregs/row), not
+    # by HBM: unroll saturates at 8 (u1 44 ms, u4 30.5, u8 26.1, u16
+    # 25.8); a 4096-row C tile OOMs the 16 MB VMEM at 512-col RHS.
+    ell_stream: str = "on"
+    ell_stream_unroll: int = 8
     dense_cholesky_max_n: int = 2048
     dense_cholesky_min_density: float = 0.05
     supernodal_relax: int = 8       # per-panel padding budget (amalgamation)

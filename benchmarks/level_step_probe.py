@@ -99,10 +99,59 @@ def main():
         rec["d_einsum_ms"] = measure_loop(
             make_loop(ein), (A, B), lvals, i1=args.i1, i2=args.i2,
             reps=2) * 1e3
+
+        # e) candidate: one-hot MXU panel-delta accumulation. Embed each
+        # update into its TARGET PANEL's dense (rows, cols) rect via two
+        # one-hot matmuls, merge updates per panel with a third (one-hot
+        # segment matmul), then ONE scatter of (S, R_, Wt) rect elements
+        # whose positions are affine per panel — replacing the U·I·J
+        # element scatter in (c). MXU flops are nearly free here; the win
+        # is scatter-issue count: S·R_·Wt vs U·I·J.
+        S = max(U // 4, 1)           # updates per target panel ~4 (est.)
+        Wt = max(2 * J, 32)          # target panel width >= J
+        R_ = I + Wt                  # target panel rows (tail + below)
+        kk = jax.random.split(ks[0], 4)
+        ri = jax.random.randint(kk[0], (U, I), 0, R_, jnp.int32)
+        rj = jax.random.randint(kk[1], (U, J), 0, Wt, jnp.int32)
+        seg = jnp.sort(jax.random.randint(kk[2], (U,), 0, S, jnp.int32))
+        scp = jax.random.randint(kk[3], (S, R_, Wt), 0, NNZ_L, jnp.int32)
+        uval3 = jax.random.normal(ks[1], (U, I, J), jnp.float32)
+
+        def _delta(u3, ri_, rj_, seg_):
+            rowmap = (ri_[:, :, None]
+                      == jnp.arange(R_, dtype=jnp.int32)[None, None, :]
+                      ).astype(jnp.float32)                  # (U, I, R_)
+            colmap = (rj_[:, :, None]
+                      == jnp.arange(Wt, dtype=jnp.int32)[None, None, :]
+                      ).astype(jnp.float32)                  # (U, J, Wt)
+            segmap = (seg_[None, :]
+                      == jnp.arange(S, dtype=jnp.int32)[:, None]
+                      ).astype(jnp.float32)                  # (S, U)
+            d = jnp.einsum("uij,ujw->uiw", u3, colmap, precision=prec)
+            e = jnp.einsum("uir,uiw->urw", rowmap, d, precision=prec)
+            return jnp.einsum("su,urw->srw", segmap, e, precision=prec)
+
+        def delta_ein(operand, carry):
+            u3, ri_, rj_, seg_ = operand
+            return carry + _delta(u3, ri_, rj_, seg_).sum() * 1e-30
+
+        rec["e1_delta_einsums_ms"] = measure_loop(
+            make_loop(delta_ein), (uval3, ri, rj, seg), lvals,
+            i1=args.i1, i2=args.i2, reps=2) * 1e3
+
+        def delta_total(operand, carry):
+            u3, ri_, rj_, seg_, pos = operand
+            p = _delta(u3, ri_, rj_, seg_)
+            return carry.at[pos].add(p * 1e-30)
+
+        rec["e_delta_total_ms"] = measure_loop(
+            make_loop(delta_total), (uval3, ri, rj, seg, scp), lvals,
+            i1=args.i1, i2=args.i2, reps=2) * 1e3
         rec = {k: float(f"{v:.4g}") for k, v in rec.items()}
         rec["elements_gather"] = U * I * W
         rec["issues_window"] = U * W
         rec["elements_scatter"] = U * I * J
+        rec["elements_delta_scatter"] = S * R_ * Wt
         results[name] = rec
         print(json.dumps({name: rec}), flush=True)
 

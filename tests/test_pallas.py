@@ -105,7 +105,7 @@ def test_stream_kernel_matches_dense_oracle():
     dense = np.zeros((rows, cols_n), np.float32)
     np.add.at(dense, (ri, ci), v)
     ref = dense @ b
-    for unroll in (1, 2, 4):
+    for unroll in (1, 2, 4, 8, 16):
         out = np.asarray(spmm_stream(plan, jnp.asarray(b), unroll=unroll))
         assert np.abs(out - ref).max() < 1e-4, unroll
 
