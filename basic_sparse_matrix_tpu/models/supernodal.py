@@ -69,7 +69,8 @@ class SupernodalSchedule:
     # per-update vectors, so the numeric phase rebuilds them IN REGISTER
     # (see _upd_positions) instead of reading them from HBM.
     upd_base: Tuple[jax.Array, ...]       # grp → (g, U, W) source col base
-    upd_meta: Tuple[jax.Array, ...]       # grp → (g, U, 3) = (ni, nj, hi_s)
+    upd_meta: Tuple[jax.Array, ...]       # grp → (g, U, 4) =
+    #                                         (ni, nj, hi_s, c0_s)
     upd_irows: Tuple[jax.Array, ...]      # grp → (g, U, I) target rows
     upd_ibelow: Tuple[jax.Array, ...]     # grp → (g, U, I) below-row ranks
     upd_jrows: Tuple[jax.Array, ...]      # grp → (g, U, J) target cols
@@ -78,9 +79,23 @@ class SupernodalSchedule:
     panel_cp: Tuple[jax.Array, ...]       # grp → (g, S, W) col_ptr of cols
     panel_r: Tuple[jax.Array, ...]        # grp → (g, S) below-row count
     top_valid: Tuple[jax.Array, ...]      # grp → (g, S, W) real column?
+    # per-group TARGET-PANEL tables for the delta-scatter formulation
+    # (config supernodal_scatter, see _level_step): the level's distinct
+    # update-target panels, and each update's index into them.
+    tgt_cp: Tuple[jax.Array, ...]         # grp → (g, St, Wt) col_ptr
+    tgt_nrows: Tuple[jax.Array, ...]      # grp → (g, St) tail+below rows
+    tgt_w: Tuple[jax.Array, ...]          # grp → (g, St) panel width
+    upd_seg: Tuple[jax.Array, ...]        # grp → (g, U) target index
     # static per-group max below-row count (the rebuilt below-block's R
     # axis — a shape, so it lives in meta, not data)
     panel_rmax: Tuple[int, ...] = dataclasses.field(
+        metadata=dict(static=True))
+    # static per-group target-rect row count (delta formulation) and the
+    # host's per-group formulation choice (True = delta wins the
+    # scatter-element count comparison)
+    delta_rmax: Tuple[int, ...] = dataclasses.field(
+        metadata=dict(static=True))
+    use_delta: Tuple[bool, ...] = dataclasses.field(
         metadata=dict(static=True))
     nnz_l: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
@@ -90,18 +105,21 @@ jax.tree_util.register_dataclass(
     SupernodalSchedule,
     data_fields=["a_src_pos", "a_vals_idx", "upd_base", "upd_meta",
                  "upd_irows", "upd_ibelow", "upd_jrows", "upd_jcp",
-                 "panel_cp", "panel_r", "top_valid"],
-    meta_fields=["panel_rmax", "nnz_l", "n"],
+                 "panel_cp", "panel_r", "top_valid",
+                 "tgt_cp", "tgt_nrows", "tgt_w", "upd_seg"],
+    meta_fields=["panel_rmax", "delta_rmax", "use_delta", "nnz_l", "n"],
 )
 
 
-def _upd_positions(base, meta, irows, ibelow, jrows, jcp, scratch):
+def _upd_positions(base, meta, irows, ibelow, jrows, jcp, scratch,
+                   build_gathers: bool = True, build_scatter: bool = True):
     """Rebuild the (U, I, W)/(U, J, W)/(U, I, J) update position arrays
     from the compact per-update vectors — integer VPU work, no HBM tables.
     Source-panel gathers are affine (pos = base[col] + rank); the scatter
     is affine in-panel and one precomputed below-rank otherwise. Padding
     slots all land on ``scratch`` (gathers read the re-zeroed slot,
-    scatters drop/are re-zeroed)."""
+    scatters drop/are re-zeroed). The flags skip unneeded outputs (the
+    window-read and delta-scatter paths each replace one side)."""
     U_, W = base.shape
     I = irows.shape[1]
     J = jrows.shape[1]
@@ -115,21 +133,27 @@ def _upd_positions(base, meta, irows, ibelow, jrows, jcp, scratch):
     ni = meta[:, 0]
     nj = meta[:, 1]
     his = meta[:, 2]
-    vb = base != scratch                                     # (U, W)
-    ga = jnp.where((ii[None, :, None] < ni[:, None, None]) & vb[:, None, :],
-                   base[:, None, :] + ii[None, :, None], scratch)
-    gb = jnp.where((jj[None, :, None] < nj[:, None, None]) & vb[:, None, :],
-                   base[:, None, :] + jj[None, :, None], scratch)
-    ir = irows[:, :, None]                                   # (U, I, 1)
-    jr = jrows[:, None, :]                                   # (U, 1, J)
-    cpj = jcp[:, None, :]
-    valid = ((ii[None, :, None] < ni[:, None, None])
-             & (jj[None, None, :] < nj[:, None, None])
-             & (ir >= jr))
-    in_panel = ir < his[:, None, None]
-    pos = jnp.where(in_panel, cpj + ir - jr,
-                    cpj + (his[:, None, None] - jr) + ibelow[:, :, None])
-    sc = jnp.where(valid, pos, scratch)
+    ga = gb = sc = None
+    if build_gathers:
+        vb = base != scratch                                 # (U, W)
+        ga = jnp.where(
+            (ii[None, :, None] < ni[:, None, None]) & vb[:, None, :],
+            base[:, None, :] + ii[None, :, None], scratch)
+        gb = jnp.where(
+            (jj[None, :, None] < nj[:, None, None]) & vb[:, None, :],
+            base[:, None, :] + jj[None, :, None], scratch)
+    if build_scatter:
+        ir = irows[:, :, None]                               # (U, I, 1)
+        jr = jrows[:, None, :]                               # (U, 1, J)
+        cpj = jcp[:, None, :]
+        valid = ((ii[None, :, None] < ni[:, None, None])
+                 & (jj[None, None, :] < nj[:, None, None])
+                 & (ir >= jr))
+        in_panel = ir < his[:, None, None]
+        pos = jnp.where(in_panel, cpj + ir - jr,
+                        cpj + (his[:, None, None] - jr)
+                        + ibelow[:, :, None])
+        sc = jnp.where(valid, pos, scratch)
     return ga, gb, sc
 
 
@@ -361,7 +385,14 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
     # _upd_positions; measured 3 GB → tens of MB at n=36k).
     upd_base, upd_meta = [], []
     upd_irows, upd_ibelow, upd_jrows, upd_jcp = [], [], [], []
-    for ups, _panel_lv in entries:
+    tgt_cp, tgt_nrows, tgt_w, upd_seg = [], [], [], []
+    delta_rmax, use_delta = [], []
+    for ei, (ups, _panel_lv) in enumerate(entries):
+        # Sort updates by target panel: the delta formulation's segment
+        # merge wants runs, and update order within a level is arbitrary
+        # (all sources live in earlier levels).
+        ups = sorted(ups, key=lambda up: up[3])
+        entries[ei] = (ups, _panel_lv)
         U = max(len(ups), 1)
         maxI = maxJ = maxWl = 1
         for d, g0, g1, s in ups:
@@ -371,7 +402,7 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
             maxJ = max(maxJ, g1 - g0)
             maxWl = max(maxWl, int(w_of[d]))
         baset = np.full((U, maxWl), scratch, dtype=np.int64)
-        metat = np.zeros((U, 3), dtype=np.int64)
+        metat = np.zeros((U, 4), dtype=np.int64)
         irt = np.full((U, maxI), n, dtype=np.int64)
         ibt = np.zeros((U, maxI), dtype=np.int64)
         jrt = np.full((U, maxJ), n, dtype=np.int64)
@@ -393,7 +424,7 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
             below_s = csc_rows[col_ptr[last_s] + 1: col_ptr[last_s + 1]]
             i_rows = rd[g0:]
             j_rows = rd[g0:g1]
-            metat[u] = (ni, nj, hi_s)
+            metat[u] = (ni, nj, hi_s, int(c0[s]))
             irt[u, :ni] = i_rows
             ibt[u, :ni] = np.searchsorted(below_s, i_rows)
             jrt[u, :nj] = j_rows
@@ -409,6 +440,50 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         upd_ibelow.append(ibt.astype(row_dtype))
         upd_jrows.append(jrt.astype(row_dtype))
         upd_jcp.append(jct.astype(np.int32))
+
+        # -------- target-panel tables (delta-scatter formulation) --------
+        # The level's distinct update targets; each target panel's storage
+        # is one contiguous dense trapezoid whose (row rank r, col rank w)
+        # element sits at col_ptr[c0_s + w] + (r - w) — affine for tail AND
+        # below rows. Embedding every update into its target's rect via
+        # one-hot MXU matmuls and scattering the merged rects replaces the
+        # U·I·J element scatter with St·nrows·Wt (see _level_step).
+        ts = sorted({s for _, _, _, s in ups})
+        St = max(len(ts), 1)
+        Wt = max((int(w_of[s]) for s in ts), default=1)
+        nrows_of = {}
+        for s in ts:
+            hi_s = int(c1[s])
+            below_ct = int(col_ptr[hi_s] - col_ptr[hi_s - 1] - 1)
+            nrows_of[s] = int(w_of[s]) + below_ct
+        rmax_d = max(nrows_of.values(), default=1)
+        tcp = np.full((St, Wt), scratch, dtype=np.int64)
+        tnr = np.zeros((St,), dtype=np.int64)
+        twd = np.zeros((St,), dtype=np.int64)
+        for k, s in enumerate(ts):
+            lo_s, hi_s = int(c0[s]), int(c1[s])
+            ws = hi_s - lo_s
+            tcp[k, :ws] = col_ptr[lo_s:hi_s]
+            tnr[k] = nrows_of[s]
+            twd[k] = ws
+        rank_of = {s: k for k, s in enumerate(ts)}
+        segt = np.zeros((U,), dtype=np.int64)
+        for u, (_, _, _, s) in enumerate(ups):
+            segt[u] = rank_of[s]
+        tgt_cp.append(tcp.astype(np.int32))
+        tgt_nrows.append(tnr.astype(np.int32))
+        tgt_w.append(twd.astype(np.int32))
+        upd_seg.append(segt.astype(np.int32))
+        delta_rmax.append(max(rmax_d, 1))
+        # Host formulation choice: the scatter is issue-bound per ELEMENT
+        # (~10 ns each, level_step_probe), the one-hot einsums ride the
+        # MXU nearly free, so compare padded element counts with a margin
+        # for the extra MXU passes and one-hot temps.
+        elem_scatter = U * maxI * maxJ
+        rect_scatter = St * rmax_d * Wt
+        rowmap_mb = U * maxI * rmax_d * 4 / 2**20
+        use_delta.append(bool(ups) and rect_scatter * 1.5 < elem_scatter
+                         and rowmap_mb < 1024)
 
     # ------------- panel tables (compact: col_ptr vectors) -------------
     panel_cp, panel_r, top_valid = [], [], []
@@ -441,7 +516,8 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
     # O(#levels). panel_r's MAX is a shape (the rebuilt below-block's R
     # axis), so it must match within a group.
     per_level = [upd_base, upd_meta, upd_irows, upd_ibelow, upd_jrows,
-                 upd_jcp, panel_cp, panel_r, top_valid]
+                 upd_jcp, panel_cp, panel_r, top_valid,
+                 tgt_cp, tgt_nrows, tgt_w, upd_seg]
     rmax = [int(r.max()) if r.size else 0 for r in panel_r]
     grouped = [[] for _ in per_level]
     _group_starts = []
@@ -451,6 +527,8 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         _group_starts.append(lv)
         j = lv + 1
         while (j < nent and rmax[j] == rmax[lv]
+               and delta_rmax[j] == delta_rmax[lv]
+               and use_delta[j] == use_delta[lv]
                and all(t[j].shape == t[lv].shape for t in per_level)):
             j += 1
         for gl, t in zip(grouped, per_level):
@@ -469,8 +547,14 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         panel_cp=tuple(grouped[6]),
         panel_r=tuple(grouped[7]),
         top_valid=tuple(grouped[8]),
+        tgt_cp=tuple(grouped[9]),
+        tgt_nrows=tuple(grouped[10]),
+        tgt_w=tuple(grouped[11]),
+        upd_seg=tuple(grouped[12]),
         panel_rmax=tuple(max(rmax[lv], 1)
                          for lv in _group_starts),
+        delta_rmax=tuple(delta_rmax[lv] for lv in _group_starts),
+        use_delta=tuple(use_delta[lv] for lv in _group_starts),
         nnz_l=nnz_l,
         n=n,
     )
@@ -480,29 +564,89 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
     return sched
 
 
-def _level_step(lvals, tabs, R: int, scratch: int, window: bool = False):
+def _delta_scatter(lvals, u3, meta, irows, ibelow, jrows,
+                   tcp, tnr, twd, seg, Rd: int, scratch: int):
+    """Apply a level's updates as TARGET-PANEL RECT deltas instead of
+    per-element scatters. Each target panel's storage is one contiguous
+    trapezoid whose (row rank r, col rank w) element sits at
+    ``col_ptr[c0_s + w] + (r - w)`` for tail AND below rows, so:
+
+    * embed every update into its target's (Rd, Wt) rect with two one-hot
+      matmuls (row rank = ``ir - c0_s`` in the tail, ``W_s + ibelow``
+      below; col rank = ``jr - c0_s``) — MXU work, values copied exactly
+      (one-hot rows sum a single product);
+    * merge updates sharing a target with a one-hot segment matmul;
+    * scatter the St merged rects at in-register affine positions —
+      ``St·Rd·Wt`` scatter elements instead of ``U·I·J`` (the level
+      scatter is issue-bound per element, benchmarks/level_step_probe.py).
+
+    Out-of-range ranks (padding lanes, upper wedge) fall out of the
+    one-hot support or land on ``scratch``, which the caller re-zeroes."""
+    Ucnt, I, J = u3.shape
+    St, Wt = tcp.shape
+    prec = jax.lax.Precision.HIGHEST
+    irows = irows.astype(jnp.int32)
+    ibelow = ibelow.astype(jnp.int32)
+    jrows = jrows.astype(jnp.int32)
+    ni, nj, his, c0s = (meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3])
+    ii = jnp.arange(I, dtype=jnp.int32)
+    jj = jnp.arange(J, dtype=jnp.int32)
+    ws = his - c0s                                           # (U,)
+    ri = jnp.where(irows < his[:, None], irows - c0s[:, None],
+                   ws[:, None] + ibelow)
+    ri = jnp.where(ii[None, :] < ni[:, None], ri, Rd)        # (U, I)
+    rj = jnp.where(jj[None, :] < nj[:, None],
+                   jrows - c0s[:, None], Wt)                 # (U, J)
+    rowmap = (ri[:, :, None]
+              == jnp.arange(Rd, dtype=jnp.int32)).astype(u3.dtype)
+    colmap = (rj[:, :, None]
+              == jnp.arange(Wt, dtype=jnp.int32)).astype(u3.dtype)
+    segmap = (seg[None, :].astype(jnp.int32)
+              == jnp.arange(St, dtype=jnp.int32)[:, None]).astype(u3.dtype)
+    d = jnp.einsum("uij,ujw->uiw", u3, colmap, precision=prec)
+    e = jnp.einsum("uir,uiw->urw", rowmap, d, precision=prec)
+    p = jnp.einsum("su,urw->srw", segmap, e, precision=prec)
+    rr = jnp.arange(Rd, dtype=jnp.int32)[None, :, None]
+    wwt = jnp.arange(Wt, dtype=jnp.int32)[None, None, :]
+    mask = ((wwt < twd[:, None, None]) & (rr >= wwt)
+            & (rr < tnr[:, None, None]))
+    pos = jnp.where(mask, tcp[:, None, :] + rr - wwt, scratch)
+    return lvals.at[pos].add(-p)
+
+
+def _level_step(lvals, tabs, R: int, Rd: int, scratch: int,
+                window: bool = False, use_delta: bool = False):
     """One fan-in level: batched MXU panel updates + panel finalisation.
     ``tabs`` holds the COMPACT per-level tables; the full position arrays
     are rebuilt in-register (integer VPU work instead of 3 GB-scale HBM
     table reads — see _upd_positions/_panel_positions). With
     ``window=True`` (config ``supernodal_gather="window"``) the READS use
     one gather issue per contiguous run instead of per element
-    (U·W + S·W·2 issues vs U·(I+J)·W + S·W·(W+R)); the scatters keep
-    element positions."""
-    base, meta, irows, ibelow, jrows, jcp, cp, r_tab, tv = tabs
+    (U·W + S·W·2 issues vs U·(I+J)·W + S·W·(W+R)); with
+    ``use_delta=True`` (the host's per-level choice under config
+    ``supernodal_scatter="delta"|"auto"``) the update scatter goes through
+    :func:`_delta_scatter` instead of per-element positions."""
+    (base, meta, irows, ibelow, jrows, jcp, cp, r_tab, tv,
+     tcp, tnr, twd, seg) = tabs
     I = irows.shape[1]
     J = jrows.shape[1]
-    ga, gb, sc = _upd_positions(base, meta, irows, ibelow, jrows, jcp,
-                                scratch)
     # 1) batched panel-outer-product updates on the MXU
     if window:
         A, B = _upd_windows(lvals, base, meta, scratch, I, J)
     else:
+        ga, gb, _ = _upd_positions(base, meta, irows, ibelow, jrows, jcp,
+                                   scratch, build_scatter=False)
         A = lvals[ga]                          # (U, I, W)
         B = lvals[gb]                          # (U, J, W)
     U = jnp.einsum("uiw,ujw->uij", A, B,
                    precision=jax.lax.Precision.HIGHEST)
-    lvals = lvals.at[sc].add(-U)
+    if use_delta:
+        lvals = _delta_scatter(lvals, U, meta, irows, ibelow, jrows,
+                               tcp, tnr, twd, seg, Rd, scratch)
+    else:
+        _, _, sc = _upd_positions(base, meta, irows, ibelow, jrows, jcp,
+                                  scratch, build_gathers=False)
+        lvals = lvals.at[sc].add(-U)
     lvals = lvals.at[scratch].set(0.0)
 
     # 2) batched panel finalisation
@@ -530,7 +674,9 @@ def _level_step(lvals, tabs, R: int, scratch: int, window: bool = False):
 def _group_tabs(sched: SupernodalSchedule, gi: int):
     return (sched.upd_base[gi], sched.upd_meta[gi], sched.upd_irows[gi],
             sched.upd_ibelow[gi], sched.upd_jrows[gi], sched.upd_jcp[gi],
-            sched.panel_cp[gi], sched.panel_r[gi], sched.top_valid[gi])
+            sched.panel_cp[gi], sched.panel_r[gi], sched.top_valid[gi],
+            sched.tgt_cp[gi], sched.tgt_nrows[gi], sched.tgt_w[gi],
+            sched.upd_seg[gi])
 
 
 def _win_pad(sched: SupernodalSchedule) -> int:
@@ -552,36 +698,52 @@ def _init_lvals(sched: SupernodalSchedule, a_values: jax.Array,
         a_values[sched.a_vals_idx].astype(jnp.float32))
 
 
-def _run_group(lvals, tabs, R: int, scratch: int, window: bool):
+def _run_group(lvals, tabs, R: int, Rd: int, scratch: int, window: bool,
+               use_delta: bool):
     if tabs[0].shape[0] == 1:
-        return _level_step(lvals, tuple(t[0] for t in tabs), R, scratch,
-                           window)
+        return _level_step(lvals, tuple(t[0] for t in tabs), R, Rd,
+                           scratch, window, use_delta)
     lvals, _ = jax.lax.scan(
-        lambda lv, t, _R=R: (_level_step(lv, t, _R, scratch, window),
-                             None),
+        lambda lv, t, _R=R, _Rd=Rd: (
+            _level_step(lv, t, _R, _Rd, scratch, window, use_delta),
+            None),
         lvals, tabs)
     return lvals
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def _groups_chunk(lvals, tabs_seq, rmaxs, scratch: int,
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _groups_chunk(lvals, tabs_seq, rmaxs, drmaxs, deltas, scratch: int,
                   window: bool = False):
     """One device program covering a bounded slice of the group schedule."""
-    for tabs, R in zip(tabs_seq, rmaxs):
-        lvals = _run_group(lvals, tabs, R, scratch, window)
+    for tabs, R, Rd, ud in zip(tabs_seq, rmaxs, drmaxs, deltas):
+        lvals = _run_group(lvals, tabs, R, Rd, scratch, window, ud)
     return lvals
 
 
-@partial(jax.jit, static_argnums=(2,))
+def _group_delta(sched: SupernodalSchedule, gi: int, mode: str) -> bool:
+    """Resolve the per-group formulation under config supernodal_scatter:
+    "element" forces per-element positions, "delta" forces the rect path,
+    "auto" takes the host's per-group element-count choice."""
+    if mode == "element":
+        return False
+    if mode == "delta":
+        return True
+    return sched.use_delta[gi]
+
+
+@partial(jax.jit, static_argnums=(2, 3))
 def _factorize_supernodal_whole(sched: SupernodalSchedule,
                                 a_values: jax.Array,
-                                window: bool = False) -> jax.Array:
+                                window: bool = False,
+                                scatter_mode: str = "auto") -> jax.Array:
     pad = 1 + (_win_pad(sched) if window else 0)
     lvals = _init_lvals(sched, a_values, pad)
     scratch = sched.nnz_l
     for gi in range(len(sched.upd_base)):
         lvals = _run_group(lvals, _group_tabs(sched, gi),
-                           sched.panel_rmax[gi], scratch, window)
+                           sched.panel_rmax[gi], sched.delta_rmax[gi],
+                           scratch, window,
+                           _group_delta(sched, gi, scatter_mode))
     return lvals[: sched.nnz_l]
 
 
@@ -601,11 +763,12 @@ def factorize_supernodal(sched: SupernodalSchedule,
 
     cfg = get_config()
     window = cfg.supernodal_gather == "window"
+    mode = cfg.supernodal_scatter
     n_g = len(sched.upd_base)
     G = cfg.supernodal_groups_per_program
     if (not G or n_g <= G
             or isinstance(a_values, jax.core.Tracer)):
-        return _factorize_supernodal_whole(sched, a_values, window)
+        return _factorize_supernodal_whole(sched, a_values, window, mode)
     pad = 1 + (_win_pad(sched) if window else 0)
     lvals = _init_lvals(sched, a_values, pad)
     scratch = sched.nnz_l
@@ -613,7 +776,10 @@ def factorize_supernodal(sched: SupernodalSchedule,
         gis = range(c0, min(c0 + G, n_g))
         tabs_seq = tuple(_group_tabs(sched, gi) for gi in gis)
         rmaxs = tuple(sched.panel_rmax[gi] for gi in gis)
-        lvals = _groups_chunk(lvals, tabs_seq, rmaxs, scratch, window)
+        drmaxs = tuple(sched.delta_rmax[gi] for gi in gis)
+        deltas = tuple(_group_delta(sched, gi, mode) for gi in gis)
+        lvals = _groups_chunk(lvals, tabs_seq, rmaxs, drmaxs, deltas,
+                              scratch, window)
     return lvals[: sched.nnz_l]
 
 

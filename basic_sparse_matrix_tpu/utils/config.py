@@ -56,6 +56,14 @@ class Config:
     # scalar-gather issue rate is what bounds the phase at n=36k).
     # Flip after benchmarks/level_step_probe.py confirms on chip.
     supernodal_gather: str = "element"
+    # Supernodal update SCATTER: "element" (per-element positions rebuilt
+    # in-register — U·I·J scatter issues at ~10 ns each), "delta" (embed
+    # updates into their target panels' dense trapezoid rects via one-hot
+    # MXU matmuls, merge per target, ONE affine rect scatter — St·Rd·Wt
+    # issues), or "auto" (host picks per level by padded element count;
+    # see models/supernodal._delta_scatter). Gate on chip with
+    # benchmarks/level_step_probe.py before changing the default.
+    supernodal_scatter: str = "auto"
     ordering: str = "auto"          # fill ordering: auto|rcm|nd|natural
     # Banded (block-tridiagonal) factorization dispatch: used when the
     # (reordered) half-bandwidth fits a block size <= banded_max_block and

@@ -72,7 +72,8 @@ def main():
     sched_bytes = 0
     for name in ("a_src_pos", "a_vals_idx", "upd_base", "upd_meta",
                  "upd_irows", "upd_ibelow", "upd_jrows", "upd_jcp",
-                 "panel_cp", "panel_r", "top_valid"):
+                 "panel_cp", "panel_r", "top_valid",
+                 "tgt_cp", "tgt_nrows", "tgt_w", "upd_seg"):
         v = getattr(sched, name)
         arrs = v if isinstance(v, tuple) else (v,)
         sched_bytes += sum(x.size * x.dtype.itemsize for x in arrs)
@@ -85,19 +86,26 @@ def main():
     # Per-chunk two-point timing on the SHIPPING execution path.
     chunk_s = []
     lv = lvals0
+    cfg = get_config()
+    win = cfg.supernodal_gather == "window"
+    mode = cfg.supernodal_scatter
     for c0 in range(0, n_g, G):
         gis = range(c0, min(c0 + G, n_g))
         tabs_seq = tuple(sn._group_tabs(sched, gi) for gi in gis)
         rmaxs = tuple(sched.panel_rmax[gi] for gi in gis)
+        drmaxs = tuple(sched.delta_rmax[gi] for gi in gis)
+        deltas = tuple(sn._group_delta(sched, gi, mode) for gi in gis)
 
-        def step(operand, carry, _t=tabs_seq, _r=rmaxs):
-            return sn._groups_chunk(carry, _t, _r, scratch)
+        def step(operand, carry, _t=tabs_seq, _r=rmaxs, _d=drmaxs,
+                 _u=deltas):
+            return sn._groups_chunk(carry, _t, _r, _d, _u, scratch, win)
 
         dt = measure_loop(make_loop(step), (), lv, i1=args.i1, i2=args.i2,
                           reps=2)
         chunk_s.append(dt)
         # advance the carry so later chunks see realistic values
-        lv = sn._groups_chunk(lv, tabs_seq, rmaxs, scratch)
+        lv = sn._groups_chunk(lv, tabs_seq, rmaxs, drmaxs, deltas,
+                              scratch, win)
         print(json.dumps({"chunk": c0 // G, "groups": len(rmaxs),
                           "s": round(dt, 5)}), flush=True)
     rec["numeric_sum_ms"] = round(sum(chunk_s) * 1e3, 2)

@@ -245,3 +245,68 @@ def test_window_gather_matches_element():
     finally:
         set_config(cfg)
     assert np.array_equal(chunked_win, win)
+
+
+def test_delta_scatter_matches_element():
+    """supernodal_scatter="delta" (one-hot MXU embedding into target-panel
+    rects + one affine rect scatter) produces the same factor as the
+    per-element scatter, across orderings, relax levels, and bucketed
+    schedules, and composes with window gathers + chunked programs."""
+    import dataclasses as dc
+
+    from basic_sparse_matrix_tpu.models.supernodal import (
+        _factorize_supernodal_whole,
+    )
+    from basic_sparse_matrix_tpu.ops.reorder import (
+        nd_permutation,
+        permute_symmetric,
+    )
+    from basic_sparse_matrix_tpu.utils.config import get_config, set_config
+
+    cases = []
+    for name, a_dense in _cases().items():
+        cases.append((name, CSR.from_dense(a_dense), 0))
+    big = CSR.from_dense(_lap2d(9))
+    big = permute_symmetric(big, nd_permutation(big))
+    cases.append(("lap2d9_nd_r0", big, 0))
+    cases.append(("lap2d9_nd_r8", big, 8))
+
+    for name, a, relax in cases:
+        sched = analyze_supernodal(a, relax=relax)
+        elem = np.asarray(_factorize_supernodal_whole(
+            sched, a.values, False, "element"))
+        delta = np.asarray(_factorize_supernodal_whole(
+            sched, a.values, False, "delta"))
+        # one-hot matmuls copy values exactly; the segment merge sums in
+        # a different order than scatter-add, so agreement is to the ulp
+        np.testing.assert_allclose(elem, delta, rtol=1e-6, atol=1e-8,
+                                   err_msg=name)
+
+    # delta + window + chunked programs through the public wrapper
+    sched = analyze_supernodal(big, relax=8)
+    ref = np.asarray(_factorize_supernodal_whole(
+        sched, big.values, False, "element"))
+    cfg = get_config()
+    try:
+        set_config(dc.replace(cfg, supernodal_scatter="delta",
+                              supernodal_gather="window",
+                              supernodal_groups_per_program=2))
+        combo = np.asarray(factorize_supernodal(sched, big.values))
+    finally:
+        set_config(cfg)
+    np.testing.assert_allclose(ref, combo, rtol=1e-6, atol=1e-8)
+
+
+def test_delta_auto_choice_recorded():
+    """analyze records a per-group formulation choice and target tables
+    whose shapes stack consistently with the group axis."""
+    a = CSR.from_dense(_lap2d(8))
+    sched = analyze_supernodal(a, relax=4)
+    n_g = len(sched.upd_base)
+    assert len(sched.use_delta) == n_g
+    assert len(sched.delta_rmax) == n_g
+    for gi in range(n_g):
+        g = sched.upd_base[gi].shape[0]
+        assert sched.tgt_cp[gi].shape[0] == g
+        assert sched.upd_seg[gi].shape == sched.upd_base[gi].shape[:2]
+        assert sched.delta_rmax[gi] >= 1
