@@ -482,7 +482,11 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         elem_scatter = U * maxI * maxJ
         rect_scatter = St * rmax_d * Wt
         rowmap_mb = U * maxI * rmax_d * 4 / 2**20
-        use_delta.append(bool(ups) and rect_scatter * 1.5 < elem_scatter
+        # Margin measured on chip (level_step_probe r3): XLA scatters per
+        # ELEMENT at ~10 ns regardless of formulation, the one-hot einsums
+        # are ~free, so the only real cost difference is element count
+        # (+ the rowmap temp's HBM traffic, covered by the 1.2).
+        use_delta.append(bool(ups) and rect_scatter * 1.2 < elem_scatter
                          and rowmap_mb < 1024)
 
     # ------------- panel tables (compact: col_ptr vectors) -------------

@@ -147,6 +147,62 @@ def main():
         rec["e_delta_total_ms"] = measure_loop(
             make_loop(delta_total), (uval3, ri, rj, seg, scp), lvals,
             i1=args.i1, i2=args.i2, reps=2) * 1e3
+
+        # f) window scatter-add: one lax.scatter_add whose updates are
+        # whole CONTIGUOUS windows (update_window_dims) — the delta
+        # rect's storage columns are contiguous runs, so if XLA lowers
+        # this at ~issue-per-window the add-back drops from St·Rd·Wt
+        # element issues to St·Wt window issues.
+        NW = S * Wt
+        wstarts = jax.random.randint(kk[3], (NW, 1), 0, NNZ_L - R_,
+                                     jnp.int32)
+        wupd = jax.random.normal(kk[0], (NW, R_), jnp.float32)
+        dn = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1,), inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0,))
+
+        def win_scatter(operand, carry):
+            st, up = operand
+            return jax.lax.scatter_add(carry, st, up * 1e-30, dn)
+
+        rec["f_window_scatter_ms"] = measure_loop(
+            make_loop(win_scatter), (wstarts, wupd), lvals,
+            i1=args.i1, i2=args.i2, reps=2) * 1e3
+
+        # f2) the same window count via a serial scan of
+        # dynamic_update_slice read-modify-writes (disjoint windows).
+        def scan_rmw(operand, carry):
+            st, up = operand
+
+            def body(lv, sw):
+                s0, u0 = sw
+                win = jax.lax.dynamic_slice(lv, (s0[0],), (R_,))
+                return jax.lax.dynamic_update_slice(
+                    lv, win + u0 * 1e-30, (s0[0],)), None
+
+            out, _ = jax.lax.scan(body, carry, (st, up))
+            return out
+
+        rec["f2_scan_window_rmw_ms"] = measure_loop(
+            make_loop(scan_rmw), (wstarts, wupd), lvals,
+            i1=args.i1, i2=args.i2, reps=2) * 1e3
+
+        # f3) the shear einsum that would feed (f): constant one-hot
+        # shift tensor contracted on the MXU.
+        shift = (jnp.arange(R_, dtype=jnp.int32)[None, :, None]
+                 == (jnp.arange(R_, dtype=jnp.int32)[None, None, :]
+                     + jnp.arange(Wt, dtype=jnp.int32)[:, None, None])
+                 ).astype(jnp.float32)          # (Wt, R_, R_)
+
+        def shear(operand, carry):
+            u3, ri_, rj_, seg_ = operand
+            p = _delta(u3, ri_, rj_, seg_)
+            ps = jnp.einsum("wqr,srw->sqw", shift, p, precision=prec)
+            return carry + ps.sum() * 1e-30
+
+        rec["f3_delta_plus_shear_ms"] = measure_loop(
+            make_loop(shear), (uval3, ri, rj, seg), lvals,
+            i1=args.i1, i2=args.i2, reps=2) * 1e3
         rec = {k: float(f"{v:.4g}") for k, v in rec.items()}
         rec["elements_gather"] = U * I * W
         rec["issues_window"] = U * W
