@@ -85,6 +85,7 @@ class SupernodalSchedule:
     tgt_cp: Tuple[jax.Array, ...]         # grp → (g, St, Wt) col_ptr
     tgt_nrows: Tuple[jax.Array, ...]      # grp → (g, St) tail+below rows
     tgt_w: Tuple[jax.Array, ...]          # grp → (g, St) panel width
+    tgt_start: Tuple[jax.Array, ...]      # grp → (g, St) storage start
     upd_seg: Tuple[jax.Array, ...]        # grp → (g, U) target index
     # static per-group max below-row count (the rebuilt below-block's R
     # axis — a shape, so it lives in meta, not data)
@@ -97,6 +98,12 @@ class SupernodalSchedule:
         metadata=dict(static=True))
     use_delta: Tuple[bool, ...] = dataclasses.field(
         metadata=dict(static=True))
+    # static per-group: pallas add-back eligibility (bounded VMEM window)
+    # and the window length it needs (max panel storage + padded column)
+    use_pallas: Tuple[bool, ...] = dataclasses.field(
+        metadata=dict(static=True))
+    win_len: Tuple[int, ...] = dataclasses.field(
+        metadata=dict(static=True))
     nnz_l: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
 
@@ -106,9 +113,24 @@ jax.tree_util.register_dataclass(
     data_fields=["a_src_pos", "a_vals_idx", "upd_base", "upd_meta",
                  "upd_irows", "upd_ibelow", "upd_jrows", "upd_jcp",
                  "panel_cp", "panel_r", "top_valid",
-                 "tgt_cp", "tgt_nrows", "tgt_w", "upd_seg"],
-    meta_fields=["panel_rmax", "delta_rmax", "use_delta", "nnz_l", "n"],
+                 "tgt_cp", "tgt_nrows", "tgt_w", "tgt_start", "upd_seg"],
+    meta_fields=["panel_rmax", "delta_rmax", "use_delta", "use_pallas",
+                 "win_len", "nnz_l", "n"],
 )
+
+# Scatter-element floor below which the pallas add-back cannot amortise
+# its DMA issues (+ per-shape Mosaic compiles); see analyze's choice.
+_PALLAS_MIN_ELEMENTS = 1 << 20
+
+
+def _pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
+def _colq(rd: int) -> int:
+    """Pallas add-back column-buffer length for a group's rect rows:
+    128-aligned, then pow2-quantised to bound distinct kernel shapes."""
+    return _pow2(-(-rd // 128) * 128)
 
 
 def _upd_positions(base, meta, irows, ibelow, jrows, jcp, scratch,
@@ -385,8 +407,8 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
     # _upd_positions; measured 3 GB → tens of MB at n=36k).
     upd_base, upd_meta = [], []
     upd_irows, upd_ibelow, upd_jrows, upd_jcp = [], [], [], []
-    tgt_cp, tgt_nrows, tgt_w, upd_seg = [], [], [], []
-    delta_rmax, use_delta = [], []
+    tgt_cp, tgt_nrows, tgt_w, tgt_start, upd_seg = [], [], [], [], []
+    delta_rmax, use_delta, use_pallas, win_len = [], [], [], []
     for ei, (ups, _panel_lv) in enumerate(entries):
         # Sort updates by target panel: the delta formulation's segment
         # merge wants runs, and update order within a level is arbitrary
@@ -460,12 +482,16 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         tcp = np.full((St, Wt), scratch, dtype=np.int64)
         tnr = np.zeros((St,), dtype=np.int64)
         twd = np.zeros((St,), dtype=np.int64)
+        tst = np.zeros((St,), dtype=np.int64)
+        len_max = 1
         for k, s in enumerate(ts):
             lo_s, hi_s = int(c0[s]), int(c1[s])
             ws = hi_s - lo_s
             tcp[k, :ws] = col_ptr[lo_s:hi_s]
             tnr[k] = nrows_of[s]
             twd[k] = ws
+            tst[k] = col_ptr[lo_s]
+            len_max = max(len_max, int(col_ptr[hi_s] - col_ptr[lo_s]))
         rank_of = {s: k for k, s in enumerate(ts)}
         segt = np.zeros((U,), dtype=np.int64)
         for u, (_, _, _, s) in enumerate(ups):
@@ -473,8 +499,14 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         tgt_cp.append(tcp.astype(np.int32))
         tgt_nrows.append(tnr.astype(np.int32))
         tgt_w.append(twd.astype(np.int32))
+        tgt_start.append(tst.astype(np.int32))
         upd_seg.append(segt.astype(np.int32))
         delta_rmax.append(max(rmax_d, 1))
+        # pallas add-back window: the padded sheared column must fit past
+        # the largest column offset; round to a register multiple
+        col_pad = -(-max(rmax_d, 1) // 128) * 128
+        wl = -(-(len_max + col_pad) // 1024) * 1024
+        win_len.append(wl)
         # Host formulation choice: the scatter is issue-bound per ELEMENT
         # (~10 ns each, level_step_probe), the one-hot einsums ride the
         # MXU nearly free, so compare padded element counts with a margin
@@ -482,6 +514,19 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         elem_scatter = U * maxI * maxJ
         rect_scatter = St * rmax_d * Wt
         rowmap_mb = U * maxI * rmax_d * 4 / 2**20
+        # pallas add-back cost = 2 DMAs per LIVE column; a DMA pair costs
+        # ~2-3 us against ~10 ns per scatter element, so it pays when the
+        # per-column element budget exceeds ~300 (calibrate on chip with
+        # benchmarks/supernodal_scale.py). The absolute floor keeps tiny
+        # levels off the pallas path (each kernel SHAPE is a ~90 s remote
+        # Mosaic compile; pow2 quantisation in _delta_scatter bounds the
+        # shape count, the floor bounds who pays it at all).
+        live_cols = sum(int(w_of[s]) for s in ts)
+        use_pallas.append(bool(ups) and rowmap_mb < 1024
+                          and min(elem_scatter, rect_scatter)
+                          > _PALLAS_MIN_ELEMENTS
+                          and live_cols * 300
+                          < min(elem_scatter, rect_scatter))
         # Margin measured on chip (level_step_probe r3): XLA scatters per
         # ELEMENT at ~10 ns regardless of formulation, the one-hot einsums
         # are ~free, so the only real cost difference is element count
@@ -521,7 +566,7 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
     # axis), so it must match within a group.
     per_level = [upd_base, upd_meta, upd_irows, upd_ibelow, upd_jrows,
                  upd_jcp, panel_cp, panel_r, top_valid,
-                 tgt_cp, tgt_nrows, tgt_w, upd_seg]
+                 tgt_cp, tgt_nrows, tgt_w, tgt_start, upd_seg]
     rmax = [int(r.max()) if r.size else 0 for r in panel_r]
     grouped = [[] for _ in per_level]
     _group_starts = []
@@ -533,12 +578,14 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         while (j < nent and rmax[j] == rmax[lv]
                and delta_rmax[j] == delta_rmax[lv]
                and use_delta[j] == use_delta[lv]
+               and use_pallas[j] == use_pallas[lv]
                and all(t[j].shape == t[lv].shape for t in per_level)):
             j += 1
         for gl, t in zip(grouped, per_level):
             gl.append(jnp.asarray(np.stack(t[lv:j])))
         lv = j
 
+    _group_ends = _group_starts[1:] + [nent]
     sched = SupernodalSchedule(
         a_src_pos=jnp.asarray(a_src_pos.astype(np.int32)),
         a_vals_idx=jnp.asarray(a_vals_idx.astype(np.int32)),
@@ -554,11 +601,15 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         tgt_cp=tuple(grouped[9]),
         tgt_nrows=tuple(grouped[10]),
         tgt_w=tuple(grouped[11]),
-        upd_seg=tuple(grouped[12]),
+        tgt_start=tuple(grouped[12]),
+        upd_seg=tuple(grouped[13]),
         panel_rmax=tuple(max(rmax[lv], 1)
                          for lv in _group_starts),
         delta_rmax=tuple(delta_rmax[lv] for lv in _group_starts),
         use_delta=tuple(use_delta[lv] for lv in _group_starts),
+        use_pallas=tuple(use_pallas[lv] for lv in _group_starts),
+        win_len=tuple(max(win_len[lv:hi])
+                      for lv, hi in zip(_group_starts, _group_ends)),
         nnz_l=nnz_l,
         n=n,
     )
@@ -569,7 +620,8 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
 
 
 def _delta_scatter(lvals, u3, meta, irows, ibelow, jrows,
-                   tcp, tnr, twd, seg, Rd: int, scratch: int):
+                   tcp, tnr, twd, tst, seg, Rd: int, WL: int,
+                   scratch: int, mode: str = "delta"):
     """Apply a level's updates as TARGET-PANEL RECT deltas instead of
     per-element scatters. Each target panel's storage is one contiguous
     trapezoid whose (row rank r, col rank w) element sits at
@@ -580,9 +632,16 @@ def _delta_scatter(lvals, u3, meta, irows, ibelow, jrows,
       below; col rank = ``jr - c0_s``) — MXU work, values copied exactly
       (one-hot rows sum a single product);
     * merge updates sharing a target with a one-hot segment matmul;
-    * scatter the St merged rects at in-register affine positions —
-      ``St·Rd·Wt`` scatter elements instead of ``U·I·J`` (the level
-      scatter is issue-bound per element, benchmarks/level_step_probe.py).
+    * ``mode="delta"``: scatter the St merged rects at in-register affine
+      positions — ``St·Rd·Wt`` scatter elements instead of ``U·I·J`` (the
+      level scatter is issue-bound per element,
+      benchmarks/level_step_probe.py);
+    * ``mode="pallas"``: shear each rect to its storage image with one
+      more constant one-hot einsum (``psh[s, w, q] = p[s, q + w, w]`` —
+      rect column w's storage run starts at ``tcp - tst`` relative to the
+      panel window) and apply it with the manual-DMA panel add-back
+      kernel (:mod:`ops.pallas.panel_addback`): 2 DMAs + Wt vector adds
+      per PANEL instead of any per-element scatter.
 
     Out-of-range ranks (padding lanes, upper wedge) fall out of the
     one-hot support or land on ``scratch``, which the caller re-zeroes."""
@@ -610,6 +669,28 @@ def _delta_scatter(lvals, u3, meta, irows, ibelow, jrows,
     d = jnp.einsum("uij,ujw->uiw", u3, colmap, precision=prec)
     e = jnp.einsum("uir,uiw->urw", rowmap, d, precision=prec)
     p = jnp.einsum("su,urw->srw", segmap, e, precision=prec)
+    if mode == "pallas":
+        from ..ops.pallas.panel_addback import panel_addback
+
+        col_pad = _colq(Rd)
+        qq = jnp.arange(col_pad, dtype=jnp.int32)
+        wv = jnp.arange(Wt, dtype=jnp.int32)
+        # constant one-hot shear: shift[w, q, r] = (r == q + w); rect rows
+        # past a column's true run read p rows that are already zero
+        shift = (jnp.arange(Rd, dtype=jnp.int32)[None, None, :]
+                 == (qq[None, :, None] + wv[:, None, None])
+                 ).astype(u3.dtype)                     # (Wt, col_pad, Rd)
+        psh = jnp.einsum("wqr,srw->swq", shift, -p, precision=prec)
+        # Quantize the kernel operand shapes to pow2 classes: every
+        # distinct (St, Wt, col_len) is a separate ~90 s remote Mosaic
+        # compile, and an ND schedule has hundreds of level shapes.
+        # Padded panels/columns cost nothing (twd-bounded trip count).
+        St_q = _pow2(St)
+        Wt_q = _pow2(Wt)
+        psh = jnp.pad(psh, ((0, St_q - St), (0, Wt_q - Wt), (0, 0)))
+        tcp_q = jnp.pad(tcp, ((0, St_q - St), (0, Wt_q - Wt)))
+        twd_q = jnp.pad(twd, (0, St_q - St))
+        return panel_addback(lvals, psh, tcp_q, twd_q)
     rr = jnp.arange(Rd, dtype=jnp.int32)[None, :, None]
     wwt = jnp.arange(Wt, dtype=jnp.int32)[None, None, :]
     mask = ((wwt < twd[:, None, None]) & (rr >= wwt)
@@ -618,20 +699,20 @@ def _delta_scatter(lvals, u3, meta, irows, ibelow, jrows,
     return lvals.at[pos].add(-p)
 
 
-def _level_step(lvals, tabs, R: int, Rd: int, scratch: int,
-                window: bool = False, use_delta: bool = False):
+def _level_step(lvals, tabs, R: int, Rd: int, WL: int, scratch: int,
+                window: bool = False, smode: str = "element"):
     """One fan-in level: batched MXU panel updates + panel finalisation.
     ``tabs`` holds the COMPACT per-level tables; the full position arrays
     are rebuilt in-register (integer VPU work instead of 3 GB-scale HBM
     table reads — see _upd_positions/_panel_positions). With
     ``window=True`` (config ``supernodal_gather="window"``) the READS use
     one gather issue per contiguous run instead of per element
-    (U·W + S·W·2 issues vs U·(I+J)·W + S·W·(W+R)); with
-    ``use_delta=True`` (the host's per-level choice under config
-    ``supernodal_scatter="delta"|"auto"``) the update scatter goes through
-    :func:`_delta_scatter` instead of per-element positions."""
+    (U·W + S·W·2 issues vs U·(I+J)·W + S·W·(W+R)); ``smode`` (the host's
+    per-level choice under config ``supernodal_scatter``) routes the
+    update scatter through :func:`_delta_scatter` ("delta"/"pallas")
+    instead of per-element positions ("element")."""
     (base, meta, irows, ibelow, jrows, jcp, cp, r_tab, tv,
-     tcp, tnr, twd, seg) = tabs
+     tcp, tnr, twd, tst, seg) = tabs
     I = irows.shape[1]
     J = jrows.shape[1]
     # 1) batched panel-outer-product updates on the MXU
@@ -644,9 +725,10 @@ def _level_step(lvals, tabs, R: int, Rd: int, scratch: int,
         B = lvals[gb]                          # (U, J, W)
     U = jnp.einsum("uiw,ujw->uij", A, B,
                    precision=jax.lax.Precision.HIGHEST)
-    if use_delta:
+    if smode in ("delta", "pallas"):
         lvals = _delta_scatter(lvals, U, meta, irows, ibelow, jrows,
-                               tcp, tnr, twd, seg, Rd, scratch)
+                               tcp, tnr, twd, tst, seg, Rd, WL, scratch,
+                               smode)
     else:
         _, _, sc = _upd_positions(base, meta, irows, ibelow, jrows, jcp,
                                   scratch, build_gathers=False)
@@ -680,7 +762,7 @@ def _group_tabs(sched: SupernodalSchedule, gi: int):
             sched.upd_ibelow[gi], sched.upd_jrows[gi], sched.upd_jcp[gi],
             sched.panel_cp[gi], sched.panel_r[gi], sched.top_valid[gi],
             sched.tgt_cp[gi], sched.tgt_nrows[gi], sched.tgt_w[gi],
-            sched.upd_seg[gi])
+            sched.tgt_start[gi], sched.upd_seg[gi])
 
 
 def _win_pad(sched: SupernodalSchedule) -> int:
@@ -702,37 +784,53 @@ def _init_lvals(sched: SupernodalSchedule, a_values: jax.Array,
         a_values[sched.a_vals_idx].astype(jnp.float32))
 
 
-def _run_group(lvals, tabs, R: int, Rd: int, scratch: int, window: bool,
-               use_delta: bool):
+def _run_group(lvals, tabs, R: int, Rd: int, WL: int, scratch: int,
+               window: bool, smode: str):
     if tabs[0].shape[0] == 1:
-        return _level_step(lvals, tuple(t[0] for t in tabs), R, Rd,
-                           scratch, window, use_delta)
+        return _level_step(lvals, tuple(t[0] for t in tabs), R, Rd, WL,
+                           scratch, window, smode)
     lvals, _ = jax.lax.scan(
-        lambda lv, t, _R=R, _Rd=Rd: (
-            _level_step(lv, t, _R, _Rd, scratch, window, use_delta),
+        lambda lv, t, _R=R, _Rd=Rd, _W=WL: (
+            _level_step(lv, t, _R, _Rd, _W, scratch, window, smode),
             None),
         lvals, tabs)
     return lvals
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
-def _groups_chunk(lvals, tabs_seq, rmaxs, drmaxs, deltas, scratch: int,
-                  window: bool = False):
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+def _groups_chunk(lvals, tabs_seq, rmaxs, drmaxs, wls, smodes,
+                  scratch: int, window: bool = False):
     """One device program covering a bounded slice of the group schedule."""
-    for tabs, R, Rd, ud in zip(tabs_seq, rmaxs, drmaxs, deltas):
-        lvals = _run_group(lvals, tabs, R, Rd, scratch, window, ud)
+    for tabs, R, Rd, WL, sm in zip(tabs_seq, rmaxs, drmaxs, wls, smodes):
+        lvals = _run_group(lvals, tabs, R, Rd, WL, scratch, window, sm)
     return lvals
 
 
-def _group_delta(sched: SupernodalSchedule, gi: int, mode: str) -> bool:
+def _group_delta(sched: SupernodalSchedule, gi: int, mode: str) -> str:
     """Resolve the per-group formulation under config supernodal_scatter:
-    "element" forces per-element positions, "delta" forces the rect path,
-    "auto" takes the host's per-group element-count choice."""
+    "element" forces per-element positions, "delta" forces the rect
+    scatter, "pallas" forces the manual-DMA panel add-back (where the
+    window budget admits it, falling back to the rect scatter), "auto"
+    takes the host's per-group choice (pallas where eligible, else rect
+    where it wins the element count, else element)."""
     if mode == "element":
-        return False
+        return "element"
     if mode == "delta":
-        return True
-    return sched.use_delta[gi]
+        return "delta"
+    if mode == "pallas":
+        return "pallas" if sched.use_pallas[gi] else "delta"
+    if sched.use_pallas[gi]:
+        return "pallas"
+    return "delta" if sched.use_delta[gi] else "element"
+
+
+def _pallas_pad(sched: SupernodalSchedule, mode: str) -> int:
+    """lvals padding needed so every pallas add-back column run (padded
+    and pow2-quantised) stays in bounds."""
+    pads = [_colq(sched.delta_rmax[gi])
+            for gi in range(len(sched.upd_base))
+            if _group_delta(sched, gi, mode) == "pallas"]
+    return max(pads, default=0)
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -740,13 +838,14 @@ def _factorize_supernodal_whole(sched: SupernodalSchedule,
                                 a_values: jax.Array,
                                 window: bool = False,
                                 scatter_mode: str = "auto") -> jax.Array:
-    pad = 1 + (_win_pad(sched) if window else 0)
+    pad = 1 + (_win_pad(sched) if window else 0) \
+        + _pallas_pad(sched, scatter_mode)
     lvals = _init_lvals(sched, a_values, pad)
     scratch = sched.nnz_l
     for gi in range(len(sched.upd_base)):
         lvals = _run_group(lvals, _group_tabs(sched, gi),
                            sched.panel_rmax[gi], sched.delta_rmax[gi],
-                           scratch, window,
+                           sched.win_len[gi], scratch, window,
                            _group_delta(sched, gi, scatter_mode))
     return lvals[: sched.nnz_l]
 
@@ -773,7 +872,7 @@ def factorize_supernodal(sched: SupernodalSchedule,
     if (not G or n_g <= G
             or isinstance(a_values, jax.core.Tracer)):
         return _factorize_supernodal_whole(sched, a_values, window, mode)
-    pad = 1 + (_win_pad(sched) if window else 0)
+    pad = 1 + (_win_pad(sched) if window else 0) + _pallas_pad(sched, mode)
     lvals = _init_lvals(sched, a_values, pad)
     scratch = sched.nnz_l
     for c0 in range(0, n_g, G):
@@ -781,8 +880,9 @@ def factorize_supernodal(sched: SupernodalSchedule,
         tabs_seq = tuple(_group_tabs(sched, gi) for gi in gis)
         rmaxs = tuple(sched.panel_rmax[gi] for gi in gis)
         drmaxs = tuple(sched.delta_rmax[gi] for gi in gis)
-        deltas = tuple(_group_delta(sched, gi, mode) for gi in gis)
-        lvals = _groups_chunk(lvals, tabs_seq, rmaxs, drmaxs, deltas,
+        wls = tuple(sched.win_len[gi] for gi in gis)
+        smodes = tuple(_group_delta(sched, gi, mode) for gi in gis)
+        lvals = _groups_chunk(lvals, tabs_seq, rmaxs, drmaxs, wls, smodes,
                               scratch, window)
     return lvals[: sched.nnz_l]
 

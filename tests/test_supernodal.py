@@ -281,6 +281,11 @@ def test_delta_scatter_matches_element():
         # a different order than scatter-add, so agreement is to the ulp
         np.testing.assert_allclose(elem, delta, rtol=1e-6, atol=1e-8,
                                    err_msg=name)
+        # manual-DMA panel add-back (interpret mode on CPU)
+        pallas = np.asarray(_factorize_supernodal_whole(
+            sched, a.values, False, "pallas"))
+        np.testing.assert_allclose(elem, pallas, rtol=1e-6, atol=1e-8,
+                                   err_msg=name + " (pallas)")
 
     # delta + window + chunked programs through the public wrapper
     sched = analyze_supernodal(big, relax=8)
