@@ -85,7 +85,6 @@ class SupernodalSchedule:
     tgt_cp: Tuple[jax.Array, ...]         # grp → (g, St, Wt) col_ptr
     tgt_nrows: Tuple[jax.Array, ...]      # grp → (g, St) tail+below rows
     tgt_w: Tuple[jax.Array, ...]          # grp → (g, St) panel width
-    tgt_start: Tuple[jax.Array, ...]      # grp → (g, St) storage start
     upd_seg: Tuple[jax.Array, ...]        # grp → (g, U) target index
     # static per-group max below-row count (the rebuilt below-block's R
     # axis — a shape, so it lives in meta, not data)
@@ -102,8 +101,6 @@ class SupernodalSchedule:
     # and the window length it needs (max panel storage + padded column)
     use_pallas: Tuple[bool, ...] = dataclasses.field(
         metadata=dict(static=True))
-    win_len: Tuple[int, ...] = dataclasses.field(
-        metadata=dict(static=True))
     nnz_l: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
 
@@ -113,9 +110,9 @@ jax.tree_util.register_dataclass(
     data_fields=["a_src_pos", "a_vals_idx", "upd_base", "upd_meta",
                  "upd_irows", "upd_ibelow", "upd_jrows", "upd_jcp",
                  "panel_cp", "panel_r", "top_valid",
-                 "tgt_cp", "tgt_nrows", "tgt_w", "tgt_start", "upd_seg"],
+                 "tgt_cp", "tgt_nrows", "tgt_w", "upd_seg"],
     meta_fields=["panel_rmax", "delta_rmax", "use_delta", "use_pallas",
-                 "win_len", "nnz_l", "n"],
+                 "nnz_l", "n"],
 )
 
 # Scatter-element floor below which the pallas add-back cannot amortise
@@ -407,8 +404,8 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
     # _upd_positions; measured 3 GB → tens of MB at n=36k).
     upd_base, upd_meta = [], []
     upd_irows, upd_ibelow, upd_jrows, upd_jcp = [], [], [], []
-    tgt_cp, tgt_nrows, tgt_w, tgt_start, upd_seg = [], [], [], [], []
-    delta_rmax, use_delta, use_pallas, win_len = [], [], [], []
+    tgt_cp, tgt_nrows, tgt_w, upd_seg = [], [], [], []
+    delta_rmax, use_delta, use_pallas = [], [], []
     for ei, (ups, _panel_lv) in enumerate(entries):
         # Sort updates by target panel: the delta formulation's segment
         # merge wants runs, and update order within a level is arbitrary
@@ -482,16 +479,12 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         tcp = np.full((St, Wt), scratch, dtype=np.int64)
         tnr = np.zeros((St,), dtype=np.int64)
         twd = np.zeros((St,), dtype=np.int64)
-        tst = np.zeros((St,), dtype=np.int64)
-        len_max = 1
         for k, s in enumerate(ts):
             lo_s, hi_s = int(c0[s]), int(c1[s])
             ws = hi_s - lo_s
             tcp[k, :ws] = col_ptr[lo_s:hi_s]
             tnr[k] = nrows_of[s]
             twd[k] = ws
-            tst[k] = col_ptr[lo_s]
-            len_max = max(len_max, int(col_ptr[hi_s] - col_ptr[lo_s]))
         rank_of = {s: k for k, s in enumerate(ts)}
         segt = np.zeros((U,), dtype=np.int64)
         for u, (_, _, _, s) in enumerate(ups):
@@ -499,21 +492,23 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         tgt_cp.append(tcp.astype(np.int32))
         tgt_nrows.append(tnr.astype(np.int32))
         tgt_w.append(twd.astype(np.int32))
-        tgt_start.append(tst.astype(np.int32))
         upd_seg.append(segt.astype(np.int32))
         delta_rmax.append(max(rmax_d, 1))
-        # pallas add-back window: the padded sheared column must fit past
-        # the largest column offset; round to a register multiple
-        col_pad = -(-max(rmax_d, 1) // 128) * 128
-        wl = -(-(len_max + col_pad) // 1024) * 1024
-        win_len.append(wl)
         # Host formulation choice: the scatter is issue-bound per ELEMENT
         # (~10 ns each, level_step_probe), the one-hot einsums ride the
         # MXU nearly free, so compare padded element counts with a margin
         # for the extra MXU passes and one-hot temps.
         elem_scatter = U * maxI * maxJ
         rect_scatter = St * rmax_d * Wt
-        rowmap_mb = U * maxI * rmax_d * 4 / 2**20
+        # HBM guard over EVERY delta-formulation intermediate, not just the
+        # rowmap one-hot: the merge temps d (U·I·Wt) / e (U·Rd·Wt), the
+        # merged rects p (St·Rd·Wt), and — on the pallas path — the sheared
+        # tensor (Wt·colq(Rd)·Rd) can each independently reach multi-GB at
+        # wide-target levels (ADVICE r3).
+        delta_elems = max(U * maxI * rmax_d, U * maxI * Wt,
+                          U * rmax_d * Wt, St * rmax_d * Wt)
+        rowmap_mb = delta_elems * 4 / 2**20
+        shear_mb = (Wt * _colq(rmax_d) * rmax_d) * 4 / 2**20
         # pallas add-back cost = 2 DMAs per LIVE column; a DMA pair costs
         # ~2-3 us against ~10 ns per scatter element, so it pays when the
         # per-column element budget exceeds ~300 (calibrate on chip with
@@ -523,6 +518,7 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         # shape count, the floor bounds who pays it at all).
         live_cols = sum(int(w_of[s]) for s in ts)
         use_pallas.append(bool(ups) and rowmap_mb < 1024
+                          and shear_mb < 1024
                           and min(elem_scatter, rect_scatter)
                           > _PALLAS_MIN_ELEMENTS
                           and live_cols * 300
@@ -566,7 +562,7 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
     # axis), so it must match within a group.
     per_level = [upd_base, upd_meta, upd_irows, upd_ibelow, upd_jrows,
                  upd_jcp, panel_cp, panel_r, top_valid,
-                 tgt_cp, tgt_nrows, tgt_w, tgt_start, upd_seg]
+                 tgt_cp, tgt_nrows, tgt_w, upd_seg]
     rmax = [int(r.max()) if r.size else 0 for r in panel_r]
     grouped = [[] for _ in per_level]
     _group_starts = []
@@ -585,7 +581,6 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
             gl.append(jnp.asarray(np.stack(t[lv:j])))
         lv = j
 
-    _group_ends = _group_starts[1:] + [nent]
     sched = SupernodalSchedule(
         a_src_pos=jnp.asarray(a_src_pos.astype(np.int32)),
         a_vals_idx=jnp.asarray(a_vals_idx.astype(np.int32)),
@@ -601,15 +596,12 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         tgt_cp=tuple(grouped[9]),
         tgt_nrows=tuple(grouped[10]),
         tgt_w=tuple(grouped[11]),
-        tgt_start=tuple(grouped[12]),
-        upd_seg=tuple(grouped[13]),
+        upd_seg=tuple(grouped[12]),
         panel_rmax=tuple(max(rmax[lv], 1)
                          for lv in _group_starts),
         delta_rmax=tuple(delta_rmax[lv] for lv in _group_starts),
         use_delta=tuple(use_delta[lv] for lv in _group_starts),
         use_pallas=tuple(use_pallas[lv] for lv in _group_starts),
-        win_len=tuple(max(win_len[lv:hi])
-                      for lv, hi in zip(_group_starts, _group_ends)),
         nnz_l=nnz_l,
         n=n,
     )
@@ -620,7 +612,7 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
 
 
 def _delta_scatter(lvals, u3, meta, irows, ibelow, jrows,
-                   tcp, tnr, twd, tst, seg, Rd: int, WL: int,
+                   tcp, tnr, twd, seg, Rd: int,
                    scratch: int, mode: str = "delta"):
     """Apply a level's updates as TARGET-PANEL RECT deltas instead of
     per-element scatters. Each target panel's storage is one contiguous
@@ -638,8 +630,8 @@ def _delta_scatter(lvals, u3, meta, irows, ibelow, jrows,
       benchmarks/level_step_probe.py);
     * ``mode="pallas"``: shear each rect to its storage image with one
       more constant one-hot einsum (``psh[s, w, q] = p[s, q + w, w]`` —
-      rect column w's storage run starts at ``tcp - tst`` relative to the
-      panel window) and apply it with the manual-DMA panel add-back
+      rect column w's storage run starts at ``tcp[s, w]``) and apply it
+      with the manual-DMA panel add-back
       kernel (:mod:`ops.pallas.panel_addback`): 2 DMAs + Wt vector adds
       per PANEL instead of any per-element scatter.
 
@@ -699,7 +691,7 @@ def _delta_scatter(lvals, u3, meta, irows, ibelow, jrows,
     return lvals.at[pos].add(-p)
 
 
-def _level_step(lvals, tabs, R: int, Rd: int, WL: int, scratch: int,
+def _level_step(lvals, tabs, R: int, Rd: int, scratch: int,
                 window: bool = False, smode: str = "element"):
     """One fan-in level: batched MXU panel updates + panel finalisation.
     ``tabs`` holds the COMPACT per-level tables; the full position arrays
@@ -712,7 +704,7 @@ def _level_step(lvals, tabs, R: int, Rd: int, WL: int, scratch: int,
     update scatter through :func:`_delta_scatter` ("delta"/"pallas")
     instead of per-element positions ("element")."""
     (base, meta, irows, ibelow, jrows, jcp, cp, r_tab, tv,
-     tcp, tnr, twd, tst, seg) = tabs
+     tcp, tnr, twd, seg) = tabs
     I = irows.shape[1]
     J = jrows.shape[1]
     # 1) batched panel-outer-product updates on the MXU
@@ -727,8 +719,7 @@ def _level_step(lvals, tabs, R: int, Rd: int, WL: int, scratch: int,
                    precision=jax.lax.Precision.HIGHEST)
     if smode in ("delta", "pallas"):
         lvals = _delta_scatter(lvals, U, meta, irows, ibelow, jrows,
-                               tcp, tnr, twd, tst, seg, Rd, WL, scratch,
-                               smode)
+                               tcp, tnr, twd, seg, Rd, scratch, smode)
     else:
         _, _, sc = _upd_positions(base, meta, irows, ibelow, jrows, jcp,
                                   scratch, build_gathers=False)
@@ -762,7 +753,7 @@ def _group_tabs(sched: SupernodalSchedule, gi: int):
             sched.upd_ibelow[gi], sched.upd_jrows[gi], sched.upd_jcp[gi],
             sched.panel_cp[gi], sched.panel_r[gi], sched.top_valid[gi],
             sched.tgt_cp[gi], sched.tgt_nrows[gi], sched.tgt_w[gi],
-            sched.tgt_start[gi], sched.upd_seg[gi])
+            sched.upd_seg[gi])
 
 
 def _win_pad(sched: SupernodalSchedule) -> int:
@@ -784,25 +775,25 @@ def _init_lvals(sched: SupernodalSchedule, a_values: jax.Array,
         a_values[sched.a_vals_idx].astype(jnp.float32))
 
 
-def _run_group(lvals, tabs, R: int, Rd: int, WL: int, scratch: int,
+def _run_group(lvals, tabs, R: int, Rd: int, scratch: int,
                window: bool, smode: str):
     if tabs[0].shape[0] == 1:
-        return _level_step(lvals, tuple(t[0] for t in tabs), R, Rd, WL,
+        return _level_step(lvals, tuple(t[0] for t in tabs), R, Rd,
                            scratch, window, smode)
     lvals, _ = jax.lax.scan(
-        lambda lv, t, _R=R, _Rd=Rd, _W=WL: (
-            _level_step(lv, t, _R, _Rd, _W, scratch, window, smode),
+        lambda lv, t, _R=R, _Rd=Rd: (
+            _level_step(lv, t, _R, _Rd, scratch, window, smode),
             None),
         lvals, tabs)
     return lvals
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
-def _groups_chunk(lvals, tabs_seq, rmaxs, drmaxs, wls, smodes,
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _groups_chunk(lvals, tabs_seq, rmaxs, drmaxs, smodes,
                   scratch: int, window: bool = False):
     """One device program covering a bounded slice of the group schedule."""
-    for tabs, R, Rd, WL, sm in zip(tabs_seq, rmaxs, drmaxs, wls, smodes):
-        lvals = _run_group(lvals, tabs, R, Rd, WL, scratch, window, sm)
+    for tabs, R, Rd, sm in zip(tabs_seq, rmaxs, drmaxs, smodes):
+        lvals = _run_group(lvals, tabs, R, Rd, scratch, window, sm)
     return lvals
 
 
@@ -818,7 +809,10 @@ def _group_delta(sched: SupernodalSchedule, gi: int, mode: str) -> str:
     if mode == "delta":
         return "delta"
     if mode == "pallas":
-        return "pallas" if sched.use_pallas[gi] else "delta"
+        # Forced pallas is honoured regardless of the _PALLAS_MIN_ELEMENTS
+        # floor (the floor gates "auto" only) so tests can actually drive
+        # panel_addback at suite-sized matrices (ADVICE r3).
+        return "pallas"
     if sched.use_pallas[gi]:
         return "pallas"
     return "delta" if sched.use_delta[gi] else "element"
@@ -845,7 +839,7 @@ def _factorize_supernodal_whole(sched: SupernodalSchedule,
     for gi in range(len(sched.upd_base)):
         lvals = _run_group(lvals, _group_tabs(sched, gi),
                            sched.panel_rmax[gi], sched.delta_rmax[gi],
-                           sched.win_len[gi], scratch, window,
+                           scratch, window,
                            _group_delta(sched, gi, scatter_mode))
     return lvals[: sched.nnz_l]
 
@@ -880,9 +874,8 @@ def factorize_supernodal(sched: SupernodalSchedule,
         tabs_seq = tuple(_group_tabs(sched, gi) for gi in gis)
         rmaxs = tuple(sched.panel_rmax[gi] for gi in gis)
         drmaxs = tuple(sched.delta_rmax[gi] for gi in gis)
-        wls = tuple(sched.win_len[gi] for gi in gis)
         smodes = tuple(_group_delta(sched, gi, mode) for gi in gis)
-        lvals = _groups_chunk(lvals, tabs_seq, rmaxs, drmaxs, wls, smodes,
+        lvals = _groups_chunk(lvals, tabs_seq, rmaxs, drmaxs, smodes,
                               scratch, window)
     return lvals[: sched.nnz_l]
 

@@ -55,8 +55,15 @@ def csr_to_ell(a: CSR) -> ELL:
     offs = np.arange(a.stored) - np.repeat(indptr[:-1], lens)
     cols[rows, offs] = indices
     vals[rows, offs] = values
-    return ELL(cols=jnp.asarray(cols), vals=jnp.asarray(vals),
-               n_cols=a.cols)
+    ell = ELL(cols=jnp.asarray(cols), vals=jnp.asarray(vals),
+              n_cols=a.cols)
+    # Host mirrors for plan construction (e.g. the streaming-kernel plan):
+    # device->host fetches beyond a few KB are hazardous on this transport
+    # (CLAUDE.md), so anything that needs the entry list on host must use
+    # these instead of jax.device_get.
+    object.__setattr__(ell, "_host_cols", cols)
+    object.__setattr__(ell, "_host_vals", vals)
+    return ell
 
 
 # The gathered intermediate is (rows, width, n_rhs); XLA materialises it, so
@@ -223,5 +230,6 @@ def spmm_ell_from_csr(a: CSR, b: jax.Array) -> jax.Array:
         from .pallas.stream_kernel import spmm_stream, stream_plan_from_ell
 
         plan = stream_plan_from_ell(ell)
-        return spmm_stream(plan, b, unroll=cfg.ell_stream_unroll)
+        if plan is not None:
+            return spmm_stream(plan, b, unroll=cfg.ell_stream_unroll)
     return spmm_ell(ell, b)

@@ -179,12 +179,20 @@ def spmm_stream(plan: StreamPlan, b: jax.Array,
     return out[: plan.rows, : b.shape[1]]
 
 
-def stream_plan_from_ell(ell) -> StreamPlan:
-    """Build (and memoise on the ELL instance) a streaming plan."""
+def stream_plan_from_ell(ell) -> Optional[StreamPlan]:
+    """Build (and memoise on the ELL instance) a streaming plan.
+
+    The plan is built from the HOST mirrors ``csr_to_ell`` caches on the
+    ELL — never from a device fetch: device->host transfers beyond a few
+    KB hang on this transport (CLAUDE.md), and the entry arrays are tens
+    of MB at the target 1M-row shape. Returns ``None`` (caller falls back
+    to the gather path) when no host mirror exists."""
     plan = getattr(ell, "_stream_plan", None)
     if plan is None:
-        cols = np.asarray(jax.device_get(ell.cols))
-        vals = np.asarray(jax.device_get(ell.vals))
+        cols = getattr(ell, "_host_cols", None)
+        vals = getattr(ell, "_host_vals", None)
+        if cols is None or vals is None:
+            return None
         rows = np.repeat(np.arange(ell.n_rows), cols.shape[1])
         plan = build_stream_plan(rows, cols.ravel(), vals.ravel(),
                                  ell.n_rows, ell.n_cols)

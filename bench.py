@@ -249,8 +249,9 @@ def main():
                             i1=2, i2=8, reps=2)
         stream_frac = (h_bytes / HBM_BW) / stdt
     else:
-        stdt = float("nan")
-        stream_frac = float("nan")
+        # json null off-chip (bare NaN is invalid JSON for strict parsers)
+        stdt = None
+        stream_frac = None
 
     from basic_sparse_matrix_tpu import CSR
     from basic_sparse_matrix_tpu.ops import elementwise as ew
@@ -391,6 +392,55 @@ def main():
     btdt = measure_loop(make_loop(bcr_total_step), (D4, E4full), b4,
                         i1=5, i2=55, reps=2)
 
+    # ---- general-tier Cholesky sub-metric (VERDICT r3 item 5) -----------
+    # Supernodal numeric phase on the 14^3 7-point Laplacian (n=2744) under
+    # nested dissection — the shipping general-tier path for 3D patterns
+    # whose bandwidth exceeds the banded tier (reference capability:
+    # /root/reference/src/sparse.rs:682-714). The schedule rides the cheap
+    # host->device upload once; the timed step is the full group sequence
+    # with the factor values as the carry (the supernodal_scale.py
+    # protocol). A regression in the hardest kernel now moves this JSON.
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(
+        _os.path.abspath(__file__)), "benchmarks"))
+    from cholesky_4096 import lap3d_csr as _lap3d
+
+    from basic_sparse_matrix_tpu.models import supernodal as _sn
+    from basic_sparse_matrix_tpu.ops.reorder import (
+        nd_permutation as _ndp,
+        permute_symmetric as _psym,
+    )
+    from basic_sparse_matrix_tpu.utils.config import get_config as _getcfg
+
+    _sn_a = _psym(_lap3d(14), _ndp(_lap3d(14)))
+    _t0 = time.time()
+    _sn_sched = _sn.analyze_supernodal(_sn_a, relax=32)
+    sn_analyze_s = time.time() - _t0
+    _cfg = _getcfg()
+    _sn_win = _cfg.supernodal_gather == "window"
+    _sn_mode = _cfg.supernodal_scatter
+    _n_g = len(_sn_sched.upd_base)
+    _sn_tabs = tuple(_sn._group_tabs(_sn_sched, gi) for gi in range(_n_g))
+    _sn_rm = tuple(_sn_sched.panel_rmax[gi] for gi in range(_n_g))
+    _sn_dm = tuple(_sn_sched.delta_rmax[gi] for gi in range(_n_g))
+    _sn_sm = tuple(_sn._group_delta(_sn_sched, gi, _sn_mode)
+                   for gi in range(_n_g))
+    _sn_scratch = _sn_sched.nnz_l
+    _sn_pad = 1 + (_sn._win_pad(_sn_sched) if _sn_win else 0) \
+        + _sn._pallas_pad(_sn_sched, _sn_mode)
+    _sn_lv0 = _sn._init_lvals(_sn_sched, _sn_a.values, _sn_pad)
+
+    def sn_step(operand, carry):
+        lv = carry
+        for tabs, R, Rd, sm in zip(operand, _sn_rm, _sn_dm, _sn_sm):
+            lv = _sn._run_group(lv, tabs, R, Rd, _sn_scratch, _sn_win, sm)
+        return lv
+
+    sndt = measure_loop(make_loop(sn_step), _sn_tabs, _sn_lv0,
+                        i1=2, i2=10, reps=2)
+
     print(json.dumps({
         "metric": "spmm_sd_mul_elements_per_s",
         "value": float(f"{elements_per_s:.4g}"),
@@ -402,9 +452,11 @@ def main():
                 f"{h_frac_measured:.4g}"),
             "gather_random_GBps": float(f"{gather_gbps:.4g}"),
             "hypersparse_nnz_per_s": float(f"{hnnz / hdt:.4g}"),
-            "hypersparse_stream_s": float(f"{stdt:.4g}"),
-            "hypersparse_stream_roofline_fraction": float(
-                f"{stream_frac:.4g}"),
+            "hypersparse_stream_s": (
+                float(f"{stdt:.4g}") if stdt is not None else None),
+            "hypersparse_stream_roofline_fraction": (
+                float(f"{stream_frac:.4g}")
+                if stream_frac is not None else None),
             "ss_add_elements_per_s": float(
                 f"{(sa.stored + sb.stored) / adt:.4g}"),
             "ss_add_s": float(f"{adt:.4g}"),
@@ -421,6 +473,8 @@ def main():
             "banded_solve_4096_ms": float(f"{sdt * 1e3:.4g}"),
             "bcr_factor_4096_ms": float(f"{(btdt - bsdt) * 1e3:.4g}"),
             "bcr_solve_4096_ms": float(f"{bsdt * 1e3:.4g}"),
+            "supernodal_numeric_ms": float(f"{sndt * 1e3:.4g}"),
+            "supernodal_analyze_s": float(f"{sn_analyze_s:.4g}"),
         },
     }))
 

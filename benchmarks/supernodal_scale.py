@@ -94,19 +94,18 @@ def main():
         tabs_seq = tuple(sn._group_tabs(sched, gi) for gi in gis)
         rmaxs = tuple(sched.panel_rmax[gi] for gi in gis)
         drmaxs = tuple(sched.delta_rmax[gi] for gi in gis)
-        wls = tuple(sched.win_len[gi] for gi in gis)
         smodes = tuple(sn._group_delta(sched, gi, mode) for gi in gis)
 
         def step(operand, carry, _t=tabs_seq, _r=rmaxs, _d=drmaxs,
-                 _w=wls, _u=smodes):
-            return sn._groups_chunk(carry, _t, _r, _d, _w, _u, scratch,
+                 _u=smodes):
+            return sn._groups_chunk(carry, _t, _r, _d, _u, scratch,
                                     win)
 
         dt = measure_loop(make_loop(step), (), lv, i1=args.i1, i2=args.i2,
                           reps=2)
         chunk_s.append(dt)
         # advance the carry so later chunks see realistic values
-        lv = sn._groups_chunk(lv, tabs_seq, rmaxs, drmaxs, wls, smodes,
+        lv = sn._groups_chunk(lv, tabs_seq, rmaxs, drmaxs, smodes,
                               scratch, win)
         print(json.dumps({"chunk": c0 // G, "groups": len(rmaxs),
                           "s": round(dt, 5)}), flush=True)
