@@ -47,6 +47,17 @@ _MAX_BUCKETS = 3
 _BUCKET_MIN_VOLUME = 1 << 20
 
 
+# Per-group table names, in _group_tabs order. Each is stored packed in
+# one of the three flat device buffers (see SupernodalSchedule.layout);
+# host-side numpy copies are kept on the ORIGINAL analyze instance under
+# these names (resolved by __getattr__) for the distributed splitter and
+# inspection.
+_TABLE_NAMES = ("upd_base", "upd_meta", "upd_irows", "upd_ibelow",
+                "upd_jrows", "upd_jcp", "panel_cp", "panel_r", "top_valid",
+                "tgt_cp", "tgt_nrows", "tgt_w", "upd_seg")
+_TABLE_INDEX = {name: i for i, name in enumerate(_TABLE_NAMES)}
+
+
 @dataclasses.dataclass(frozen=True)
 class SupernodalSchedule:
     """Level tables padded PER LEVEL (not globally — under nested-dissection
@@ -58,34 +69,36 @@ class SupernodalSchedule:
     levels) compile as a few scanned groups instead of a hundreds-deep
     unrolled graph, while heterogeneous ND levels keep their own shapes.
 
-    Every table's leading axis is the group's level count g."""
+    Tables (13 per group, see ``_TABLE_NAMES``; every table's leading axis
+    is the group's level count g) are PACKED into three flat device
+    buffers, one per dtype, with a static ``layout`` describing each
+    table's (buffer, offset, shape). On the tunneled single-chip transport
+    every host->device transfer costs ~ms of fixed latency, and a 263-group
+    n=36k schedule has ~3,400 tables — per-table uploads dominated the
+    33.5 s on-chip analyze (host compute is <5 s). Packing makes the
+    upload 3 transfers; ``_group_tabs`` slices tables back out at TRACE
+    time (static offsets — free inside the numeric programs).
+
+    Compact-table semantics (why the tables are small): the full
+    (U, I, W)/(U, J, W)/(U, I, J) update position arrays are O(flops) and
+    measured 3 GB at n=36k; positions are affine-or-gathered functions of
+    O(I+J+W) per-update vectors, so the numeric phase rebuilds them IN
+    REGISTER (see _upd_positions) instead of reading them from HBM.
+    upd_base (g,U,W) source col base; upd_meta (g,U,4) = (ni,nj,hi_s,c0_s);
+    upd_irows/_ibelow (g,U,I) target rows / below ranks; upd_jrows/_jcp
+    (g,U,J) target cols / col_ptr; panel_cp (g,S,W) col_ptr, panel_r (g,S)
+    below counts, top_valid (g,S,W); tgt_cp (g,St,Wt), tgt_nrows/tgt_w
+    (g,St), upd_seg (g,U) — the delta-scatter target-panel tables."""
 
     # A scatter (same as scalar path)
     a_src_pos: jax.Array
     a_vals_idx: jax.Array
-    # per-group COMPACT update tables — the full (U, I, W)/(U, J, W)/
-    # (U, I, J) position arrays are O(flops) and measured 3 GB at n=36k;
-    # positions are affine-or-gathered functions of these O(I+J+W)
-    # per-update vectors, so the numeric phase rebuilds them IN REGISTER
-    # (see _upd_positions) instead of reading them from HBM.
-    upd_base: Tuple[jax.Array, ...]       # grp → (g, U, W) source col base
-    upd_meta: Tuple[jax.Array, ...]       # grp → (g, U, 4) =
-    #                                         (ni, nj, hi_s, c0_s)
-    upd_irows: Tuple[jax.Array, ...]      # grp → (g, U, I) target rows
-    upd_ibelow: Tuple[jax.Array, ...]     # grp → (g, U, I) below-row ranks
-    upd_jrows: Tuple[jax.Array, ...]      # grp → (g, U, J) target cols
-    upd_jcp: Tuple[jax.Array, ...]        # grp → (g, U, J) col_ptr[jrows]
-    # per-group COMPACT panel tables (affine in (row rank, col rank))
-    panel_cp: Tuple[jax.Array, ...]       # grp → (g, S, W) col_ptr of cols
-    panel_r: Tuple[jax.Array, ...]        # grp → (g, S) below-row count
-    top_valid: Tuple[jax.Array, ...]      # grp → (g, S, W) real column?
-    # per-group TARGET-PANEL tables for the delta-scatter formulation
-    # (config supernodal_scatter, see _level_step): the level's distinct
-    # update-target panels, and each update's index into them.
-    tgt_cp: Tuple[jax.Array, ...]         # grp → (g, St, Wt) col_ptr
-    tgt_nrows: Tuple[jax.Array, ...]      # grp → (g, St) tail+below rows
-    tgt_w: Tuple[jax.Array, ...]          # grp → (g, St) panel width
-    upd_seg: Tuple[jax.Array, ...]        # grp → (g, U) target index
+    # packed per-group tables (see class docstring / _TABLE_NAMES)
+    flat_i32: jax.Array
+    flat_u16: jax.Array
+    flat_bool: jax.Array
+    # static: per group, per table: (buffer id, flat offset, shape)
+    layout: Tuple = dataclasses.field(metadata=dict(static=True))
     # static per-group max below-row count (the rebuilt below-block's R
     # axis — a shape, so it lives in meta, not data)
     panel_rmax: Tuple[int, ...] = dataclasses.field(
@@ -98,21 +111,37 @@ class SupernodalSchedule:
     use_delta: Tuple[bool, ...] = dataclasses.field(
         metadata=dict(static=True))
     # static per-group: pallas add-back eligibility (bounded VMEM window)
-    # and the window length it needs (max panel storage + padded column)
     use_pallas: Tuple[bool, ...] = dataclasses.field(
         metadata=dict(static=True))
     nnz_l: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
 
+    @property
+    def n_groups(self) -> int:
+        return len(self.layout)
+
+    def __getattr__(self, name):
+        # Host-side numpy table access by the pre-pack field names
+        # (distributed splitter, tests, size accounting). Available on the
+        # instance analyze_supernodal returned; pytree reconstruction
+        # (e.g. inside jit) drops host-only attributes.
+        ti = _TABLE_INDEX.get(name)
+        if ti is not None:
+            tabs = self.__dict__.get("_host_tabs")
+            if tabs is None:
+                raise AttributeError(
+                    f"{name}: host tables unavailable on reconstructed "
+                    f"schedules (use _group_tabs for device access)")
+            return tabs[ti]
+        raise AttributeError(name)
+
 
 jax.tree_util.register_dataclass(
     SupernodalSchedule,
-    data_fields=["a_src_pos", "a_vals_idx", "upd_base", "upd_meta",
-                 "upd_irows", "upd_ibelow", "upd_jrows", "upd_jcp",
-                 "panel_cp", "panel_r", "top_valid",
-                 "tgt_cp", "tgt_nrows", "tgt_w", "upd_seg"],
-    meta_fields=["panel_rmax", "delta_rmax", "use_delta", "use_pallas",
-                 "nnz_l", "n"],
+    data_fields=["a_src_pos", "a_vals_idx", "flat_i32", "flat_u16",
+                 "flat_bool"],
+    meta_fields=["layout", "panel_rmax", "delta_rmax", "use_delta",
+                 "use_pallas", "nnz_l", "n"],
 )
 
 # Scatter-element floor below which the pallas add-back cannot amortise
@@ -578,25 +607,41 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
                and all(t[j].shape == t[lv].shape for t in per_level)):
             j += 1
         for gl, t in zip(grouped, per_level):
-            gl.append(jnp.asarray(np.stack(t[lv:j])))
+            gl.append(np.stack(t[lv:j]))
         lv = j
+
+    # ---- pack every table into three flat buffers (3 uploads total) ----
+    # Per-table uploads (~13 x n_groups transfers) dominated the on-chip
+    # analyze wall time at n=36k; the device never needs the tables as
+    # separate arrays — _group_tabs re-slices them at trace time from
+    # these, at static offsets (free inside the compiled programs).
+    _BUF_DTYPES = (np.dtype(np.int32), np.dtype(np.uint16),
+                   np.dtype(np.bool_))
+    chunks = [[] for _ in _BUF_DTYPES]
+    offs = [0, 0, 0]
+    layout = []
+    for gi in range(len(grouped[0])):
+        lay = []
+        for ti in range(len(grouped)):
+            t = grouped[ti][gi]
+            bid = _BUF_DTYPES.index(np.dtype(t.dtype))
+            chunks[bid].append(t.ravel())
+            lay.append((bid, offs[bid], tuple(int(s) for s in t.shape)))
+            offs[bid] += t.size
+        layout.append(tuple(lay))
+
+    def _flat(bid):
+        if chunks[bid]:
+            return jnp.asarray(np.concatenate(chunks[bid]))
+        return jnp.zeros((0,), dtype=_BUF_DTYPES[bid])
 
     sched = SupernodalSchedule(
         a_src_pos=jnp.asarray(a_src_pos.astype(np.int32)),
         a_vals_idx=jnp.asarray(a_vals_idx.astype(np.int32)),
-        upd_base=tuple(grouped[0]),
-        upd_meta=tuple(grouped[1]),
-        upd_irows=tuple(grouped[2]),
-        upd_ibelow=tuple(grouped[3]),
-        upd_jrows=tuple(grouped[4]),
-        upd_jcp=tuple(grouped[5]),
-        panel_cp=tuple(grouped[6]),
-        panel_r=tuple(grouped[7]),
-        top_valid=tuple(grouped[8]),
-        tgt_cp=tuple(grouped[9]),
-        tgt_nrows=tuple(grouped[10]),
-        tgt_w=tuple(grouped[11]),
-        upd_seg=tuple(grouped[12]),
+        flat_i32=_flat(0),
+        flat_u16=_flat(1),
+        flat_bool=_flat(2),
+        layout=tuple(layout),
         panel_rmax=tuple(max(rmax[lv], 1)
                          for lv in _group_starts),
         delta_rmax=tuple(delta_rmax[lv] for lv in _group_starts),
@@ -606,6 +651,8 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         n=n,
     )
     # host-only metadata (not pytree fields)
+    object.__setattr__(sched, "_host_tabs",
+                       tuple(tuple(gl) for gl in grouped))
     object.__setattr__(sched, "avg_panel_width", n / max(nsn, 1))
     object.__setattr__(sched, "l_pattern", (csc_rows, csc_cols))
     return sched
@@ -749,21 +796,33 @@ def _level_step(lvals, tabs, R: int, Rd: int, scratch: int,
 
 
 def _group_tabs(sched: SupernodalSchedule, gi: int):
-    return (sched.upd_base[gi], sched.upd_meta[gi], sched.upd_irows[gi],
-            sched.upd_ibelow[gi], sched.upd_jrows[gi], sched.upd_jcp[gi],
-            sched.panel_cp[gi], sched.panel_r[gi], sched.top_valid[gi],
-            sched.tgt_cp[gi], sched.tgt_nrows[gi], sched.tgt_w[gi],
-            sched.upd_seg[gi])
+    """Slice group ``gi``'s 13 tables out of the packed flat buffers.
+    Offsets/shapes are static (``sched.layout``), so under a trace this is
+    free slicing fused into the program — no transfers, no dispatches."""
+    bufs = (sched.flat_i32, sched.flat_u16, sched.flat_bool)
+    out = []
+    for bid, off, shape in sched.layout[gi]:
+        size = 1
+        for s in shape:
+            size *= s
+        out.append(jax.lax.slice(bufs[bid], (off,),
+                                 (off + size,)).reshape(shape))
+    return tuple(out)
+
+
+def _tab_shape(sched: SupernodalSchedule, gi: int, name: str):
+    return sched.layout[gi][_TABLE_INDEX[name]][2]
 
 
 def _win_pad(sched: SupernodalSchedule) -> int:
     """Zero padding past the scratch slot so window gathers never clamp
     into live data: the longest window any group issues."""
     pad = 1
-    for gi in range(len(sched.upd_base)):
-        tabs = _group_tabs(sched, gi)
-        pad = max(pad, tabs[2].shape[2], tabs[4].shape[2],
-                  tabs[6].shape[2], sched.panel_rmax[gi])
+    for gi in range(sched.n_groups):
+        pad = max(pad, _tab_shape(sched, gi, "upd_irows")[2],
+                  _tab_shape(sched, gi, "upd_jrows")[2],
+                  _tab_shape(sched, gi, "panel_cp")[2],
+                  sched.panel_rmax[gi])
     return pad
 
 
@@ -788,12 +847,16 @@ def _run_group(lvals, tabs, R: int, Rd: int, scratch: int,
     return lvals
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
-def _groups_chunk(lvals, tabs_seq, rmaxs, drmaxs, smodes,
-                  scratch: int, window: bool = False):
-    """One device program covering a bounded slice of the group schedule."""
-    for tabs, R, Rd, sm in zip(tabs_seq, rmaxs, drmaxs, smodes):
-        lvals = _run_group(lvals, tabs, R, Rd, scratch, window, sm)
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _groups_chunk(sched, lvals, gis, smodes, window: bool = False):
+    """One device program covering a bounded slice of the group schedule.
+    ``gis`` (static tuple of group indices) selects the slice; tables are
+    sliced from the schedule's packed buffers at trace time."""
+    scratch = sched.nnz_l
+    for gi, sm in zip(gis, smodes):
+        lvals = _run_group(lvals, _group_tabs(sched, gi),
+                           sched.panel_rmax[gi], sched.delta_rmax[gi],
+                           scratch, window, sm)
     return lvals
 
 
@@ -822,7 +885,7 @@ def _pallas_pad(sched: SupernodalSchedule, mode: str) -> int:
     """lvals padding needed so every pallas add-back column run (padded
     and pow2-quantised) stays in bounds."""
     pads = [_colq(sched.delta_rmax[gi])
-            for gi in range(len(sched.upd_base))
+            for gi in range(sched.n_groups)
             if _group_delta(sched, gi, mode) == "pallas"]
     return max(pads, default=0)
 
@@ -836,7 +899,7 @@ def _factorize_supernodal_whole(sched: SupernodalSchedule,
         + _pallas_pad(sched, scatter_mode)
     lvals = _init_lvals(sched, a_values, pad)
     scratch = sched.nnz_l
-    for gi in range(len(sched.upd_base)):
+    for gi in range(sched.n_groups):
         lvals = _run_group(lvals, _group_tabs(sched, gi),
                            sched.panel_rmax[gi], sched.delta_rmax[gi],
                            scratch, window,
@@ -861,22 +924,17 @@ def factorize_supernodal(sched: SupernodalSchedule,
     cfg = get_config()
     window = cfg.supernodal_gather == "window"
     mode = cfg.supernodal_scatter
-    n_g = len(sched.upd_base)
+    n_g = sched.n_groups
     G = cfg.supernodal_groups_per_program
     if (not G or n_g <= G
             or isinstance(a_values, jax.core.Tracer)):
         return _factorize_supernodal_whole(sched, a_values, window, mode)
     pad = 1 + (_win_pad(sched) if window else 0) + _pallas_pad(sched, mode)
     lvals = _init_lvals(sched, a_values, pad)
-    scratch = sched.nnz_l
     for c0 in range(0, n_g, G):
-        gis = range(c0, min(c0 + G, n_g))
-        tabs_seq = tuple(_group_tabs(sched, gi) for gi in gis)
-        rmaxs = tuple(sched.panel_rmax[gi] for gi in gis)
-        drmaxs = tuple(sched.delta_rmax[gi] for gi in gis)
+        gis = tuple(range(c0, min(c0 + G, n_g)))
         smodes = tuple(_group_delta(sched, gi, mode) for gi in gis)
-        lvals = _groups_chunk(lvals, tabs_seq, rmaxs, drmaxs, smodes,
-                              scratch, window)
+        lvals = _groups_chunk(sched, lvals, gis, smodes, window)
     return lvals[: sched.nnz_l]
 
 

@@ -421,24 +421,18 @@ def main():
     _cfg = _getcfg()
     _sn_win = _cfg.supernodal_gather == "window"
     _sn_mode = _cfg.supernodal_scatter
-    _n_g = len(_sn_sched.upd_base)
-    _sn_tabs = tuple(_sn._group_tabs(_sn_sched, gi) for gi in range(_n_g))
-    _sn_rm = tuple(_sn_sched.panel_rmax[gi] for gi in range(_n_g))
-    _sn_dm = tuple(_sn_sched.delta_rmax[gi] for gi in range(_n_g))
+    _n_g = _sn_sched.n_groups
+    _sn_gis = tuple(range(_n_g))
     _sn_sm = tuple(_sn._group_delta(_sn_sched, gi, _sn_mode)
                    for gi in range(_n_g))
-    _sn_scratch = _sn_sched.nnz_l
     _sn_pad = 1 + (_sn._win_pad(_sn_sched) if _sn_win else 0) \
         + _sn._pallas_pad(_sn_sched, _sn_mode)
     _sn_lv0 = _sn._init_lvals(_sn_sched, _sn_a.values, _sn_pad)
 
     def sn_step(operand, carry):
-        lv = carry
-        for tabs, R, Rd, sm in zip(operand, _sn_rm, _sn_dm, _sn_sm):
-            lv = _sn._run_group(lv, tabs, R, Rd, _sn_scratch, _sn_win, sm)
-        return lv
+        return _sn._groups_chunk(operand, carry, _sn_gis, _sn_sm, _sn_win)
 
-    sndt = measure_loop(make_loop(sn_step), _sn_tabs, _sn_lv0,
+    sndt = measure_loop(make_loop(sn_step), _sn_sched, _sn_lv0,
                         i1=2, i2=10, reps=2)
 
     print(json.dumps({

@@ -67,46 +67,38 @@ def main():
     sched = sn.analyze_supernodal(ap_, relax=args.relax)
     rec["analyze_s"] = round(time.time() - t0, 2)
     rec["nnz_l"] = sched.nnz_l
-    n_g = len(sched.upd_base)
+    n_g = sched.n_groups
     rec["groups"] = n_g
-    sched_bytes = 0
-    for name in ("a_src_pos", "a_vals_idx", "upd_base", "upd_meta",
-                 "upd_irows", "upd_ibelow", "upd_jrows", "upd_jcp",
-                 "panel_cp", "panel_r", "top_valid",
-                 "tgt_cp", "tgt_nrows", "tgt_w", "upd_seg"):
-        v = getattr(sched, name)
-        arrs = v if isinstance(v, tuple) else (v,)
-        sched_bytes += sum(x.size * x.dtype.itemsize for x in arrs)
+    sched_bytes = sum(
+        x.size * x.dtype.itemsize
+        for x in (sched.a_src_pos, sched.a_vals_idx, sched.flat_i32,
+                  sched.flat_u16, sched.flat_bool))
     rec["schedule_mb"] = round(sched_bytes / 2**20, 1)
     print(json.dumps({"analyze": rec}), flush=True)
 
-    scratch = sched.nnz_l
-    lvals0 = jax.block_until_ready(sn._init_lvals(sched, ap_.values))
+    cfg = get_config()
+    win = cfg.supernodal_gather == "window"
+    mode = cfg.supernodal_scatter
+    pad = 1 + (sn._win_pad(sched) if win else 0) \
+        + sn._pallas_pad(sched, mode)
+    lvals0 = jax.block_until_ready(
+        sn._init_lvals(sched, ap_.values, pad))
 
     # Per-chunk two-point timing on the SHIPPING execution path.
     chunk_s = []
     lv = lvals0
-    cfg = get_config()
-    win = cfg.supernodal_gather == "window"
-    mode = cfg.supernodal_scatter
     for c0 in range(0, n_g, G):
-        gis = range(c0, min(c0 + G, n_g))
-        tabs_seq = tuple(sn._group_tabs(sched, gi) for gi in gis)
-        rmaxs = tuple(sched.panel_rmax[gi] for gi in gis)
-        drmaxs = tuple(sched.delta_rmax[gi] for gi in gis)
+        gis = tuple(range(c0, min(c0 + G, n_g)))
         smodes = tuple(sn._group_delta(sched, gi, mode) for gi in gis)
 
-        def step(operand, carry, _t=tabs_seq, _r=rmaxs, _d=drmaxs,
-                 _u=smodes):
-            return sn._groups_chunk(carry, _t, _r, _d, _u, scratch,
-                                    win)
+        def step(operand, carry, _g=gis, _u=smodes):
+            return sn._groups_chunk(operand, carry, _g, _u, win)
 
-        dt = measure_loop(make_loop(step), (), lv, i1=args.i1, i2=args.i2,
-                          reps=2)
+        dt = measure_loop(make_loop(step), sched, lv, i1=args.i1,
+                          i2=args.i2, reps=2)
         chunk_s.append(dt)
         # advance the carry so later chunks see realistic values
-        lv = sn._groups_chunk(lv, tabs_seq, rmaxs, drmaxs, smodes,
-                              scratch, win)
+        lv = sn._groups_chunk(sched, lv, gis, smodes, win)
         print(json.dumps({"chunk": c0 // G, "groups": len(rmaxs),
                           "s": round(dt, 5)}), flush=True)
     rec["numeric_sum_ms"] = round(sum(chunk_s) * 1e3, 2)

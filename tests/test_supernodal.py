@@ -176,11 +176,18 @@ def test_small_n_uint16_tables():
     assert all(t.dtype == jnp.uint16 for t in sched.upd_ibelow)
     lv16 = np.asarray(factorize_supernodal(sched, a.values))
 
+    # Widen by moving the uint16 tables into the int32 buffer (the packed
+    # layout's buffer id 1 -> 0 with rebased offsets).
+    base = int(sched.flat_i32.shape[0])
     wide = dataclasses.replace(
         sched,
-        upd_irows=tuple(t.astype(jnp.int32) for t in sched.upd_irows),
-        upd_ibelow=tuple(t.astype(jnp.int32) for t in sched.upd_ibelow),
-        upd_jrows=tuple(t.astype(jnp.int32) for t in sched.upd_jrows),
+        flat_i32=jnp.concatenate(
+            [sched.flat_i32, sched.flat_u16.astype(jnp.int32)]),
+        flat_u16=jnp.zeros((0,), jnp.uint16),
+        layout=tuple(
+            tuple((0, base + off, shape) if bid == 1 else (bid, off, shape)
+                  for bid, off, shape in lay)
+            for lay in sched.layout),
     )
     lv32 = np.asarray(factorize_supernodal(wide, a.values))
     assert np.array_equal(lv16, lv32)
