@@ -1,7 +1,7 @@
 from .cholesky import cholesky, cholesky_auto, cholesky_decomp, cholesky_dense
 from .sparse_cholesky import cholesky_sparse
 from .supernodal import cholesky_supernodal
-from .qr import (eigen_values, eigen_values_dense, eigen_values_sym, qr_decomp, qr_dense)
+from .qr import (eigen_values, eigen_values_dense, eigen_values_sym, qr_decomp, qr_dense, tsqr, tsqr_dense)
 from .chebyshev import chebyshev_solve, spectral_bounds
 from .lanczos import (LanczosSetup, condition_estimate,
                       eigen_values_lanczos, extremal_eigen_values)
@@ -23,6 +23,8 @@ __all__ = [
     "cholesky_decomp",
     "cholesky_dense",
     "qr_decomp",
+    "tsqr",
+    "tsqr_dense",
     "qr_dense",
     "eigen_values",
     "eigen_values_sym",

@@ -45,11 +45,67 @@ def qr_dense(a: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return jnp.linalg.qr(a.astype(jnp.float32), mode="reduced")
 
 
+DEFAULT_TSQR_BLOCK = 1024
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def tsqr_dense(a: jax.Array, block_rows: int = DEFAULT_TSQR_BLOCK
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Communication-avoiding tall-skinny QR (TSQR): batched Householder
+    QR over row blocks, then a log2-depth tree of (2n, n) stacked-R
+    factorizations, then the Q factors multiplied back down the tree — the
+    whole pipeline is batched MXU work in one compiled program, against
+    the single long Householder chain of ``jnp.linalg.qr`` (sequential in
+    the row dimension). The reference's Householder deflation
+    (sparse.rs:716-756) is O(n^4)-ish scalar code; this is the TPU-shaped
+    algorithm for the tall operands where QR actually scales.
+
+    Requires ``m >= n``; returns reduced (Q (m, n), R (n, n)). R's rows
+    carry QR's usual sign ambiguity (the reference's own test asserts only
+    the residual, sparse.rs:1380)."""
+    m, n = a.shape
+    prec = jax.lax.Precision.HIGHEST
+    a = a.astype(jnp.float32)
+    br = max(block_rows, n)
+    B = -(-m // br)
+    Bp = 1 << max(B - 1, 0).bit_length()          # pad blocks to a pow2
+    a = jnp.pad(a, ((0, Bp * br - m), (0, 0)))
+    q0, r = jnp.linalg.qr(a.reshape(Bp, br, n))   # (B, br, n), (B, n, n)
+    tree = []
+    nb = Bp
+    while nb > 1:
+        q2, r = jnp.linalg.qr(r.reshape(nb // 2, 2 * n, n))
+        tree.append(q2)                           # (nb/2, 2n, n)
+        nb //= 2
+    R = r[0]
+    acc = jnp.eye(n, dtype=jnp.float32)[None]     # (1, n, n)
+    for q2 in reversed(tree):
+        piece = jnp.matmul(q2, acc, precision=prec)   # (P, 2n, n)
+        acc = piece.reshape(-1, n, n)
+    Q = jnp.matmul(q0, acc, precision=prec).reshape(Bp * br, n)[:m]
+    return Q, R
+
+
+def tsqr(a, block_rows: int = DEFAULT_TSQR_BLOCK
+         ) -> Tuple[jax.Array, jax.Array]:
+    """TSQR of a tall operand (CSR or dense array) — see
+    :func:`tsqr_dense`. Sparse operands densify (Q is inherently dense)."""
+    arr = a.todense() if isinstance(a, CSR) else jnp.asarray(a)
+    check(arr.shape[0] >= arr.shape[1], IncorrectDimensions,
+          f"tsqr needs rows >= cols, got {arr.shape}")
+    return tsqr_dense(arr, block_rows)
+
+
 def qr_decomp(a: CSR) -> Tuple[CSR, CSR]:
     """QR of a CSR matrix — reference ``qr_decomp`` (sparse.rs:716-756).
-    Returns (Q, R) as CSR (host re-sparsified, exact zeros dropped)."""
+    Returns (Q, R) as CSR (host re-sparsified, exact zeros dropped).
+    Tall operands (rows >= 4*cols) route through the blocked TSQR tree;
+    near-square ones use XLA's Householder QR directly."""
     _check_densify_budget(a, "qr_decomp")
-    q, r = jax.device_get(qr_dense(a.todense()))
+    if a.rows >= 4 * a.cols:
+        q, r = jax.device_get(tsqr_dense(a.todense()))
+    else:
+        q, r = jax.device_get(qr_dense(a.todense()))
     return CSR.from_dense(q), CSR.from_dense(r)
 
 

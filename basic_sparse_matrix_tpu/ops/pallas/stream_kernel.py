@@ -114,6 +114,70 @@ def build_stream_plan(rows_idx: np.ndarray, cols_idx: np.ndarray,
         n_rt=n_rt, n_kt=n_kt, nnz=nnz)
 
 
+def _make_stream_kernel3(cellmax: int, unroll: int):
+    """Sublane-packed variant: B and C carry the RHS axis as
+    ``(n // 128, 128)`` so a logical row is a vreg-aligned block — the
+    row-FMA touches all 8 sublanes instead of 1 of 8 per vector op (the
+    (1, n) row layout spends a full vreg op per 128 columns at 1/8
+    sublane utilisation; this was the issue-chain bound named in r3)."""
+    def kernel(ii_ref, kk_ref, vv_ref, b_ref, o_ref):
+        kt = pl.program_id(1)
+
+        @pl.when(kt == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        def body(e, _):
+            for u in range(unroll):
+                i = ii_ref[0, 0, e * unroll + u]
+                k = kk_ref[0, 0, e * unroll + u]
+                v = vv_ref[0, 0, e * unroll + u]
+                o_ref[pl.ds(i, 1)] += v * b_ref[pl.ds(k, 1)]
+            return 0
+
+        jax.lax.fori_loop(0, cellmax // unroll, body, 0, unroll=False)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _spmm_stream3(plan: StreamPlan, b_padded: jax.Array,
+                  unroll: int) -> jax.Array:
+    """Sublane-packed launch: reshapes the (K, n) RHS to (K, n/128, 128)
+    outside the kernel (one XLA layout copy) and back."""
+    tm, tk = plan.tile_m, plan.tile_k
+    n = b_padded.shape[1]
+    ns = n // 128
+    b3 = b_padded.reshape(b_padded.shape[0], ns, 128)
+    cellmax = plan.cellmax
+    grid = (plan.n_rt, plan.n_kt)
+    nkt = plan.n_kt
+    cell_spec = pl.BlockSpec((1, 1, cellmax),
+                             lambda rt, kt: (rt * nkt + kt, 0, 0),
+                             memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        _make_stream_kernel3(cellmax, unroll),
+        grid=grid,
+        in_specs=[
+            cell_spec,
+            cell_spec,
+            cell_spec,
+            pl.BlockSpec((tk, ns, 128), lambda rt, kt: (kt, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tm, ns, 128), lambda rt, kt: (rt, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((plan.n_rt * tm, ns, 128),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * plan.nnz * n,
+            bytes_accessed=plan.n_rt * plan.n_kt * tk * n * 4
+            + plan.n_rt * tm * n * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(plan.ii, plan.kk, plan.vv, b3)
+    return out.reshape(plan.n_rt * tm, n)
+
+
 def _make_stream_kernel(cellmax: int, unroll: int):
     def kernel(ii_ref, kk_ref, vv_ref, b_ref, o_ref):
         kt = pl.program_id(1)
@@ -169,13 +233,18 @@ def _spmm_stream(plan: StreamPlan, b_padded: jax.Array,
 
 
 def spmm_stream(plan: StreamPlan, b: jax.Array,
-                unroll: int = 1) -> jax.Array:
+                unroll: int = 1, layout: str = "vreg") -> jax.Array:
     """SpMM against a pre-binned streaming plan. Pads B to tile/lane
-    multiples, runs the kernel, slices the true output."""
+    multiples, runs the kernel, slices the true output. ``layout="vreg"``
+    (default) packs the RHS axis into (n/128, 128) sublane blocks so each
+    per-entry row FMA uses full vregs; ``"row"`` is the r3 (1, n) form."""
     k_pad = plan.n_kt * plan.tile_k - b.shape[0]
     n_pad = (-b.shape[1]) % 128
     b_padded = jnp.pad(b.astype(jnp.float32), ((0, k_pad), (0, n_pad)))
-    out = _spmm_stream(plan, b_padded, unroll)
+    if layout == "vreg":
+        out = _spmm_stream3(plan, b_padded, unroll)
+    else:
+        out = _spmm_stream(plan, b_padded, unroll)
     return out[: plan.rows, : b.shape[1]]
 
 

@@ -167,13 +167,23 @@ class _SpgemmPlan:
 
     __slots__ = ("indptr", "indices", "dst", "src_a", "src_b", "nnz_c",
                  "rows", "cols", "expansion", "_host_indptr",
-                 "_host_indices", "coal")
+                 "_host_indices", "coal", "_mt", "_mt_args")
 
     def __init__(self, a: CSR, b: CSR):
         ia, xa, _ = a.numpy()
         ib, xb, _ = b.numpy()
         self._build(ia, xa, a.rows, ib, xb, b.cols,
                     budget=EXPANSION_BUDGET)
+
+    @property
+    def mergetree(self):
+        """Lazily built merge-tree numeric plan (None when inapplicable)."""
+        if self._mt is False:
+            mt = _SpgemmMergeTreePlan.build(self, *self._mt_args)
+            if mt is not None and mt.sizes[-1] != self.nnz_c:
+                mt = None  # defensive: pattern disagreement
+            self._mt = mt
+        return self._mt
 
     def _build(self, ia, xa, a_rows, ib, xb, b_cols, budget=None):
         import numpy as np
@@ -219,6 +229,8 @@ class _SpgemmPlan:
         self.nnz_c = nnz_c
         self.rows, self.cols = a_rows, b_cols
         self.expansion = total
+        self._mt = False           # not yet built (lazy)
+        self._mt_args = (ia, xa, a_rows, ib, xb)
         return self
 
     def _try_coalesce(self, xa, ib, lens, offsets, total,
@@ -274,6 +286,173 @@ class _SpgemmPlan:
         )
 
 
+def _build_4run_map(g, n_src: int, w: int):
+    """Coalesced gather maps for one side of a merge round: ``g`` maps each
+    output slot to its source index in the round's input array (−1 = this
+    side absent). Sources are monotone over valid slots and piecewise
+    contiguous (runs = one input stream's contribution to one output
+    stream), so when every w-slot output chunk intersects at most TWO runs,
+    four aligned w-row gathers (base + successor per run) serve all w
+    slots; the within-candidate position rides a host-precomputed uint8
+    local index contracted against a one-hot on device. Returns ``None``
+    when the 2-run condition fails (short streams — caller falls back)."""
+    import numpy as np
+
+    n = g.shape[0]
+    nch = -(-max(n, 1) // w)
+    gp = np.full(nch * w, -1, dtype=np.int64)
+    gp[:n] = g
+    gm = gp.reshape(nch, w)
+    valid = gm >= 0
+    big = np.iinfo(np.int64).max
+    lo = np.where(valid, gm, big).min(axis=1)
+    empty = lo == big
+    c1 = np.where(empty, 0, lo // w)
+    run1 = valid & (gm < (c1 * w + 2 * w)[:, None])
+    rest = valid & ~run1
+    lo2 = np.where(rest, gm, big).min(axis=1)
+    c2 = np.where(lo2 == big, c1, lo2 // w)
+    if np.any(rest & (gm >= (c2 * w + 2 * w)[:, None])):
+        return None
+    local = np.where(run1, gm - (c1 * w)[:, None],
+                     np.where(rest, 2 * w + gm - (c2 * w)[:, None], 4 * w))
+    return (c1.astype(np.int32), c2.astype(np.int32),
+            local.astype(np.uint8 if 4 * w < 256 else np.int32))
+
+
+class _SpgemmMergeTreePlan:
+    """Permutation-free long-row numeric plan: SOURCE-order products from
+    the issue-coalesced maps (no destination permutation), then
+    ``ceil(log2(max nnz per A row))`` rounds of pairwise sorted-stream
+    merging — each round a global application of the planned-merge chunk
+    kernel (4 aligned row gathers + one-hot select per side, the ss_add
+    formulation measured 48x scipy). Each A entry's contribution run is
+    one sorted stream; round r merges stream pairs within each output row,
+    summing duplicate columns, until one stream per row remains — which IS
+    the row's C values in pattern order. Scalar issues drop from ~2E (two
+    destination-order gathers) to ~8E/w row issues across all rounds; every
+    other op is bandwidth-bound VPU work.
+
+    Built lazily from a :class:`_SpgemmPlan` whose ``coal`` maps exist
+    (matched B rows >= chunk width); ``build`` returns None when any round
+    violates the 2-runs-per-chunk condition."""
+
+    __slots__ = ("rounds", "sizes", "w")
+
+    @staticmethod
+    def build(plan: "_SpgemmPlan", ia, xa, a_rows, ib, xb,
+              w: int = SPGEMM_CHUNK_W):
+        import numpy as np
+
+        if plan.coal is None:
+            return None
+        b_len = np.diff(ib)
+        lens = b_len[xa]
+        E = int(lens.sum())
+        nnz_a = xa.shape[0]
+        if E == 0 or nnz_a == 0:
+            return None
+        # source-order element state: stream id (= A entry), column
+        stream = np.repeat(np.arange(nnz_a, dtype=np.int64), lens)
+        offsets = np.zeros(nnz_a + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        within = np.arange(E, dtype=np.int64) - offsets[stream]
+        col = xb[ib[xa[stream]] + within].astype(np.int64)
+        # stream -> row, rank within row
+        ra = np.repeat(np.arange(a_rows, dtype=np.int64), np.diff(ia))
+        srow = ra
+        srank = np.arange(nnz_a, dtype=np.int64) - ia[srow]
+        max_k = int(np.max(np.diff(ia))) if nnz_a else 1
+        rounds = []
+        sizes = [E]
+        while max_k > 1:
+            # pair streams within each row: new stream id global by
+            # (row, rank // 2); sides alternate
+            new_rank = srank[stream] // 2
+            side = (srank[stream] % 2).astype(np.int64)
+            # global new-stream id must preserve (row-major, pair) order:
+            nr_of_stream = srank // 2
+            # unique (row, pair) pairs in order:
+            pair_key = srow[stream] * (max_k + 1) + new_rank
+            order = np.lexsort((side, col, pair_key))
+            pk_s, col_s, side_s = (pair_key[order], col[order],
+                                   side[order])
+            first = np.ones(order.shape[0], dtype=bool)
+            first[1:] = (pk_s[1:] != pk_s[:-1]) | (col_s[1:] != col_s[:-1])
+            out_slot = np.cumsum(first) - 1
+            n_out = int(out_slot[-1]) + 1 if order.size else 0
+            ga = np.full(n_out, -1, dtype=np.int64)
+            gb = np.full(n_out, -1, dtype=np.int64)
+            is_b = side_s == 1
+            ga[out_slot[~is_b]] = order[~is_b]
+            gb[out_slot[is_b]] = order[is_b]
+            ma = _build_4run_map(ga, sizes[-1], w)
+            mb = _build_4run_map(gb, sizes[-1], w)
+            if ma is None or mb is None:
+                return None
+            rounds.append((jnp.asarray(ma[0]), jnp.asarray(ma[1]),
+                           jnp.asarray(ma[2]), jnp.asarray(mb[0]),
+                           jnp.asarray(mb[1]), jnp.asarray(mb[2])))
+            sizes.append(n_out)
+            # next-round state
+            keep = first
+            col = col_s[keep]
+            old_stream = stream[order][keep]
+            # new global stream ids, contiguous by construction order
+            new_key = pk_s[keep]
+            stream_first = np.ones(new_key.shape[0], dtype=bool)
+            stream_first[1:] = new_key[1:] != new_key[:-1]
+            stream = np.cumsum(stream_first) - 1
+            # new stream -> row, rank
+            srow = srow[old_stream[stream_first]]
+            srank = nr_of_stream[old_stream[stream_first]]
+            max_k = -(-max_k // 2)
+        self = _SpgemmMergeTreePlan.__new__(_SpgemmMergeTreePlan)
+        self.rounds = tuple(rounds)
+        self.sizes = tuple(sizes)
+        self.w = w
+        return self
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _spgemm_mergetree_vals(vals_a, vals_b, maps, sizes, nnz_c: int,
+                           w: int):
+    """Numeric phase of the merge-tree plan: coalesced source-order
+    products, then the round kernels. ``maps`` = (coal source maps,
+    per-round 4-run maps)."""
+    (c1, c2, e1, e2, boundary, local), rounds = maps
+    dtype = jnp.result_type(vals_a, vals_b)
+    nb = vals_b.shape[0]
+    cb = -(-nb // w) if nb else 0
+    zpad = (cb + 2) * w - nb
+    z = jnp.concatenate(
+        [vals_b.astype(dtype), jnp.zeros(zpad, dtype)]).reshape(cb + 2, w)
+    cand = jnp.concatenate(
+        [z[c1], z[c1 + 1], z[c2], z[c2 + 1]], axis=1)       # (nch, 4w)
+    onehot = jax.nn.one_hot(local, 4 * w, dtype=dtype)
+    bsel = jnp.einsum("njt,nt->nj", onehot, cand,
+                      precision=jax.lax.Precision.HIGHEST)
+    va = jnp.where(
+        jnp.arange(w, dtype=jnp.int32)[None, :] < boundary[:, None],
+        vals_a.astype(dtype)[e1][:, None], vals_a.astype(dtype)[e2][:, None])
+    p = (va * bsel).reshape(-1)[: sizes[0]]                 # source order
+
+    def side(vals, cc1, cc2, loc):
+        zz = jnp.concatenate(
+            [vals, jnp.zeros((-(-vals.shape[0] // w) + 2) * w
+                             - vals.shape[0], dtype)]).reshape(-1, w)
+        cd = jnp.concatenate(
+            [zz[cc1], zz[cc1 + 1], zz[cc2], zz[cc2 + 1]], axis=1)
+        oh = jax.nn.one_hot(loc.astype(jnp.int32), 4 * w, dtype=dtype)
+        return jnp.einsum("njt,nt->nj", oh, cd,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    for r, (a1, a2, la, b1, b2, lb) in enumerate(rounds):
+        p = (side(p, a1, a2, la)
+             + side(p, b1, b2, lb)).reshape(-1)[: sizes[r + 1]]
+    return p
+
+
 @partial(jax.jit, static_argnums=(3,))
 def _spgemm_planned_vals(vals_a, vals_b, plan_maps, nnz_c: int):
     dst, src_a, src_b = plan_maps
@@ -316,6 +495,14 @@ def _plan_numeric(plan: "_SpgemmPlan", vals_a, vals_b):
     from ..utils.config import get_config
 
     coal = plan.coal
+    if get_config().spgemm_numeric == "mergetree" and coal is not None:
+        mt = plan.mergetree
+        if mt is not None:
+            maps = ((coal["c1"], coal["c2"], coal["e1"], coal["e2"],
+                     coal["boundary"], coal["local"]),
+                    mt.rounds)
+            return _spgemm_mergetree_vals(vals_a, vals_b, maps, mt.sizes,
+                                          plan.nnz_c, mt.w)
     if coal is not None and get_config().spgemm_numeric == "chunked":
         maps = (coal["c1"], coal["c2"], coal["e1"], coal["e2"],
                 coal["boundary"], coal["local"], coal["perm"])

@@ -95,6 +95,10 @@ class Config:
     # or "planned" (two scalar gathers in destination order). "chunked"
     # silently falls back per plan when any expansion chunk spans >2
     # matched B rows (short-row operands, where coalescing cannot help).
+    # "mergetree" (r4): coalesced source-order products, then log2(max A
+    # row nnz) rounds of pairwise sorted-stream merges on the ss_add chunk
+    # kernel — no destination permutation and no scalar gathers at all;
+    # falls back like "chunked" when streams are too short.
     spgemm_numeric: str = "planned"
     # Numerics.
     matmul_precision: str = "highest"  # this env quantizes default matmuls

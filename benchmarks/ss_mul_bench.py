@@ -174,6 +174,30 @@ def main():
         results["tpu_longrow_chunked_s"] = float(f"{lcdt:.4g}")
         results["longrow_chunked_vs_planned"] = float(f"{lpdt / lcdt:.4g}")
         results["longrow_chunked_vs_scipy"] = float(f"{best / lcdt:.4g}")
+
+    # Merge-tree numeric (r4): coalesced source products + log2(k) rounds
+    # of pairwise sorted-stream merges — no destination permutation, no
+    # scalar gathers.
+    mt = lplan.mergetree
+    results["longrow_mergetree_rounds"] = (len(mt.rounds)
+                                           if mt is not None else None)
+    if mt is not None:
+        coal = lplan.coal
+        mmaps = ((coal["c1"], coal["c2"], coal["e1"], coal["e2"],
+                  coal["boundary"], coal["local"]), mt.rounds)
+
+        def lm_step(operand, carry):
+            out = _sg._spgemm_mergetree_vals(
+                operand[0].values, carry, mmaps, mt.sizes, lplan.nnz_c,
+                mt.w)
+            return out[: lb.stored]
+
+        lmdt = measure_loop(make_loop(lm_step), (la,), lb.values, i1=3,
+                            i2=23, reps=2)
+        results["tpu_longrow_mergetree_s"] = float(f"{lmdt:.4g}")
+        results["longrow_mergetree_vs_planned"] = float(
+            f"{lpdt / lmdt:.4g}")
+        results["longrow_mergetree_vs_scipy"] = float(f"{best / lmdt:.4g}")
     print(json.dumps({
         "metric": "ss_mul_head_to_head",
         "results": results,

@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--tiles", type=str, default="2048,1024",
                     help="tile_m[xtile_k] list, e.g. 4096x1024,2048")
     ap.add_argument("--unrolls", type=str, default="1,2,4")
+    ap.add_argument("--layouts", type=str, default="row,vreg")
     ap.add_argument("--skip-ell", action="store_true")
     args = ap.parse_args()
 
@@ -84,26 +85,29 @@ def main():
                                  tile_m=tile_m, tile_k=tile_k)
         key = f"t{tile_m}x{tile_k}"
         results[f"{key}_pad_factor"] = float(f"{plan.pad_factor:.4g}")
-        if oracle is not None:
-            out = spmm_stream(plan, b)
-            err = float(jnp.abs(out - oracle).max()
-                        / jnp.abs(oracle).max())
-            results[f"{key}_rel_err"] = float(f"{err:.3g}")
-            assert err < 1e-5, err
-        for unroll in (int(u) for u in args.unrolls.split(",")):
-            # plan rides as an operand (argument), not a closure constant —
-            # closure-embedded arrays measured as a dispatch overhead trap
-            # in round 1 (PERF_NOTES).
-            def step(operand, carry, _u=unroll):
-                out = spmm_stream(operand[0], carry, unroll=_u)
-                return out[: carry.shape[0]]
+        for layout in args.layouts.split(","):
+            lkey = key if layout == "row" else f"{key}_{layout}"
+            if oracle is not None:
+                out = spmm_stream(plan, b, layout=layout)
+                err = float(jnp.abs(out - oracle).max()
+                            / jnp.abs(oracle).max())
+                results[f"{lkey}_rel_err"] = float(f"{err:.3g}")
+                assert err < 1e-5, err
+            for unroll in (int(u) for u in args.unrolls.split(",")):
+                # plan rides as an operand (argument), not a closure
+                # constant — closure-embedded arrays measured as a dispatch
+                # overhead trap in round 1 (PERF_NOTES).
+                def step(operand, carry, _u=unroll, _l=layout):
+                    out = spmm_stream(operand[0], carry, unroll=_u,
+                                      layout=_l)
+                    return out[: carry.shape[0]]
 
-            dt = measure_loop(make_loop(step), (plan,), b, i1=2, i2=8,
-                              reps=2)
-            results[f"{key}_u{unroll}_s"] = float(f"{dt:.5g}")
-            results[f"{key}_u{unroll}_roofline_fraction"] = float(
-                f"{(h_bytes / spec_bw) / dt:.4g}")
-            print(json.dumps({f"{key}_u{unroll}": dt}), flush=True)
+                dt = measure_loop(make_loop(step), (plan,), b, i1=2, i2=8,
+                                  reps=2)
+                results[f"{lkey}_u{unroll}_s"] = float(f"{dt:.5g}")
+                results[f"{lkey}_u{unroll}_roofline_fraction"] = float(
+                    f"{(h_bytes / spec_bw) / dt:.4g}")
+                print(json.dumps({f"{lkey}_u{unroll}": dt}), flush=True)
 
     print(json.dumps({"metric": "stream_spmm_head_to_head",
                       "results": results}))

@@ -173,3 +173,20 @@ def test_block_jacobi_pcg_beats_plain_cg(mesh8):
     res_p = np.linalg.norm(a @ xp - b)
     res_c = np.linalg.norm(a @ xc - b)
     assert res_p < res_c
+
+
+def test_tsqr_sharded_matches_single(mesh8):
+    from basic_sparse_matrix_tpu.models.qr import tsqr
+    from basic_sparse_matrix_tpu.parallel.tsqr import tsqr_sharded
+
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((640, 24)).astype(np.float32)
+    q, r = tsqr_sharded(a, mesh8)
+    q, r = np.asarray(q), np.asarray(r)
+    assert np.abs(np.triu(r) - r).max() < 1e-5
+    assert np.abs(q.T @ q - np.eye(24)).max() < 1e-4
+    assert np.abs(q @ r - a).max() < 1e-4
+    # R agrees with the single-device factorization up to row signs
+    _, r1 = tsqr(a)
+    s = np.sign(np.diagonal(r)) * np.sign(np.diagonal(np.asarray(r1)))
+    assert np.abs(r * s[:, None] - np.asarray(r1)).max() < 2e-3

@@ -570,3 +570,99 @@ def test_spgemm_coalesced_fallback_short_rows():
     B = sp.coo_matrix((vb, (rb, cb)), shape=(rows, rows)).tocsr()
     C = sp.csr_matrix((vv, ix, ip), shape=(rows, rows))
     assert abs(C - A @ B).max() < 1e-4
+
+
+def test_spgemm_mergetree_matches_planned():
+    """The merge-tree numeric phase (config spgemm_numeric="mergetree" —
+    coalesced source products + log2(k) pairwise sorted-stream merge
+    rounds, VERDICT r3 item 2) produces the planned path's values on
+    long-row operands, across duplicate-heavy and uneven-k shapes; the
+    public wrapper routes through it under the config."""
+    import dataclasses as dc
+    import importlib
+
+    import scipy.sparse as sp
+
+    from basic_sparse_matrix_tpu.utils.config import get_config, set_config
+
+    sg = importlib.import_module("basic_sparse_matrix_tpu.ops.spgemm")
+
+    def gen(n, nnz_a, b_row_len, seed):
+        r = np.random.default_rng(seed)
+        ra, ca = r.integers(0, n, nnz_a), r.integers(0, n, nnz_a)
+        va = r.standard_normal(nnz_a).astype(np.float32)
+        rb = np.repeat(np.arange(n), b_row_len)
+        cb = r.integers(0, n, n * b_row_len)
+        vb = r.standard_normal(n * b_row_len).astype(np.float32)
+        return (CSR.from_coo_arrays((n, n), ra, ca, va),
+                CSR.from_coo_arrays((n, n), rb, cb, vb))
+
+    for n, nnz_a, blen, seed in [(1500, 3000, 64, 1), (400, 2400, 64, 3),
+                                 (1000, 2000, 48, 4)]:
+        a, b = gen(n, nnz_a, blen, seed)
+        plan = sg._SpgemmPlan(a, b)
+        mt = plan.mergetree
+        assert mt is not None, (n, nnz_a, blen)
+        ref = np.asarray(sg._spgemm_planned_vals(
+            a.values, b.values, (plan.dst, plan.src_a, plan.src_b),
+            plan.nnz_c))
+        coal = plan.coal
+        maps = ((coal["c1"], coal["c2"], coal["e1"], coal["e2"],
+                 coal["boundary"], coal["local"]), mt.rounds)
+        got = np.asarray(sg._spgemm_mergetree_vals(
+            a.values, b.values, maps, mt.sizes, plan.nnz_c, mt.w))
+        err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
+        assert err < 1e-5, (n, nnz_a, blen, err)
+
+    # Public wrapper under the config + scipy oracle.
+    a, b = gen(1500, 3000, 64, 9)
+    cfg = get_config()
+    try:
+        set_config(dc.replace(cfg, spgemm_numeric="mergetree"))
+        out = sg.spgemm_planned(a, b)
+    finally:
+        set_config(cfg)
+    ip, ix, vv = out.numpy()
+    C = sp.csr_matrix((vv, ix, ip), shape=(1500, 1500))
+    ipa, ixa, va_ = a.numpy()
+    ipb, ixb, vb_ = b.numpy()
+    A = sp.csr_matrix((va_, ixa, ipa), shape=(1500, 1500))
+    B = sp.csr_matrix((vb_, ixb, ipb), shape=(1500, 1500))
+    assert abs(C - A @ B).max() < 1e-3
+
+
+def test_spgemm_mergetree_falls_back_on_short_rows():
+    """Short matched B rows violate the 2-runs-per-chunk condition; the
+    mergetree plan returns None and the config path falls back to
+    planned."""
+    import dataclasses as dc
+    import importlib
+
+    import scipy.sparse as sp
+
+    from basic_sparse_matrix_tpu.utils.config import get_config, set_config
+
+    sg = importlib.import_module("basic_sparse_matrix_tpu.ops.spgemm")
+
+    n = 800
+    rng = np.random.default_rng(5)
+    nnz = 24000  # ~30/row: matched rows far below the chunk width
+    a = CSR.from_coo_arrays((n, n), rng.integers(0, n, nnz),
+                            rng.integers(0, n, nnz),
+                            rng.standard_normal(nnz).astype(np.float32))
+    b = CSR.from_coo_arrays((n, n), rng.integers(0, n, nnz),
+                            rng.integers(0, n, nnz),
+                            rng.standard_normal(nnz).astype(np.float32))
+    cfg = get_config()
+    try:
+        set_config(dc.replace(cfg, spgemm_numeric="mergetree"))
+        out = sg.spgemm_planned(a, b)
+    finally:
+        set_config(cfg)
+    ip, ix, vv = out.numpy()
+    C = sp.csr_matrix((vv, ix, ip), shape=(n, n))
+    ipa, ixa, va_ = a.numpy()
+    ipb, ixb, vb_ = b.numpy()
+    A = sp.csr_matrix((va_, ixa, ipa), shape=(n, n))
+    B = sp.csr_matrix((vb_, ixb, ipb), shape=(n, n))
+    assert abs(C - A @ B).max() < 1e-3

@@ -106,8 +106,10 @@ def test_stream_kernel_matches_dense_oracle():
     np.add.at(dense, (ri, ci), v)
     ref = dense @ b
     for unroll in (1, 2, 4, 8, 16):
-        out = np.asarray(spmm_stream(plan, jnp.asarray(b), unroll=unroll))
-        assert np.abs(out - ref).max() < 1e-4, unroll
+        for layout in ("row", "vreg"):
+            out = np.asarray(spmm_stream(plan, jnp.asarray(b),
+                                         unroll=unroll, layout=layout))
+            assert np.abs(out - ref).max() < 1e-4, (unroll, layout)
 
 
 def test_stream_plan_from_ell_memoised():

@@ -156,3 +156,37 @@ def test_solve_against_numpy_oracle():
         b = rng.standard_normal((n,)).astype(np.float32)
         x = np.asarray(solve(CSR.from_dense(a), b)).ravel()
         assert np.allclose(x, np.linalg.solve(a, b), rtol=1e-3, atol=1e-3)
+
+
+def test_tsqr_matches_householder():
+    """TSQR (batched block QR + log-depth R tree) reproduces a valid
+    reduced QR: Q orthonormal, R upper-triangular, QR = A — across block
+    counts incl. non-pow2 and single-block edge cases."""
+    import jax.numpy as jnp
+
+    from basic_sparse_matrix_tpu.models.qr import tsqr
+
+    rng = np.random.default_rng(3)
+    for m, n, br in [(1000, 16, 128), (513, 8, 64), (96, 12, 100),
+                     (2048, 64, 256)]:
+        a = rng.standard_normal((m, n)).astype(np.float32)
+        q, r = tsqr(a, block_rows=br)
+        q, r = np.asarray(q), np.asarray(r)
+        assert q.shape == (m, n) and r.shape == (n, n)
+        assert np.abs(np.triu(r) - r).max() < 1e-5, "R not triangular"
+        assert np.abs(q.T @ q - np.eye(n)).max() < 1e-4, "Q not orthonormal"
+        scale = max(np.abs(a).max(), 1.0)
+        assert np.abs(q @ r - a).max() / scale < 1e-4, (m, n, br)
+
+
+def test_qr_decomp_tall_routes_tsqr():
+    """qr_decomp on a tall sparse operand (rows >= 4*cols) goes through the
+    TSQR tree and still satisfies the reference's residual contract."""
+    rng = np.random.default_rng(4)
+    d = (rng.random((400, 20)) < 0.2) * rng.standard_normal((400, 20))
+    d = d.astype(np.float32)
+    a = CSR.from_dense(d)
+    q, r = qr_decomp(a)
+    qd, rd = np.asarray(q.todense()), np.asarray(r.todense())
+    assert np.abs(qd @ rd - d).max() < 1e-4
+    assert np.abs(qd.T @ qd - np.eye(20)).max() < 1e-4
