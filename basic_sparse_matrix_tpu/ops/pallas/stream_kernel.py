@@ -56,6 +56,7 @@ class StreamPlan:
     ii: jax.Array        # (ncells, 1, cellmax) int32 — tile-local row index
     kk: jax.Array        # (ncells, 1, cellmax) int32 — tile-local col index
     vv: jax.Array        # (ncells, 1, cellmax) f32 — value (0 = sentinel)
+    pk: jax.Array        # (ncells, 1, cellmax) int32 — (i << 16) | k packed
     rows: int = dataclasses.field(metadata=dict(static=True))
     cols: int = dataclasses.field(metadata=dict(static=True))
     tile_m: int = dataclasses.field(metadata=dict(static=True))
@@ -108,8 +109,13 @@ def build_stream_plan(rows_idx: np.ndarray, cols_idx: np.ndarray,
     ii[cell, 0, slot] = (rows_idx[order] % tile_m).astype(np.int32)
     kk[cell, 0, slot] = (cols_idx[order] % tile_k).astype(np.int32)
     vv[cell, 0, slot] = vals[order]
+    # Packed (i << 16) | k: one SMEM scalar read per entry instead of two
+    # on the issue-bound per-entry chain (requires tile_m < 2^15,
+    # tile_k <= 2^16 — both orders of magnitude above useful tiles).
+    pk = (ii << 16) | kk
     return StreamPlan(
         ii=jnp.asarray(ii), kk=jnp.asarray(kk), vv=jnp.asarray(vv),
+        pk=jnp.asarray(pk),
         rows=rows, cols=cols, tile_m=tile_m, tile_k=tile_k,
         n_rt=n_rt, n_kt=n_kt, nnz=nnz)
 
@@ -173,8 +179,83 @@ def _spmm_stream3(plan: StreamPlan, b_padded: jax.Array,
             + plan.n_rt * tm * n * 4,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            # The 16 MB scoped-VMEM default blocks C tiles > 2048 rows at
+            # 512-col RHS; larger C tiles are the main lever on total B
+            # streaming traffic (n_rt sweeps of ALL of B), so raise it.
+            vmem_limit_bytes=100 * 1024 * 1024,
+            # Plan indices are host-validated (< tile_m / tile_k by
+            # construction); per-entry dynamic-index bounds checks cost
+            # cycles on the issue-bound chain.
+            disable_bounds_checks=True,
+        ),
         interpret=_interpret(),
     )(plan.ii, plan.kk, plan.vv, b3)
+    return out.reshape(plan.n_rt * tm, n)
+
+
+def _make_stream_kernel3p(cellmax: int, unroll: int):
+    """Packed-index variant of the sublane-packed kernel: one SMEM scalar
+    read per entry ((i << 16) | k) plus two scalar-core ALU ops, instead
+    of two SMEM reads — the per-entry chain is issue-bound, so every
+    issue slot counts."""
+    def kernel(pk_ref, vv_ref, b_ref, o_ref):
+        kt = pl.program_id(1)
+
+        @pl.when(kt == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        def body(e, _):
+            for u in range(unroll):
+                p = pk_ref[0, 0, e * unroll + u]
+                v = vv_ref[0, 0, e * unroll + u]
+                i = p >> 16
+                k = p & 0xFFFF
+                o_ref[pl.ds(i, 1)] += v * b_ref[pl.ds(k, 1)]
+            return 0
+
+        jax.lax.fori_loop(0, cellmax // unroll, body, 0, unroll=False)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _spmm_stream3p(plan: StreamPlan, b_padded: jax.Array,
+                   unroll: int) -> jax.Array:
+    tm, tk = plan.tile_m, plan.tile_k
+    n = b_padded.shape[1]
+    ns = n // 128
+    b3 = b_padded.reshape(b_padded.shape[0], ns, 128)
+    cellmax = plan.cellmax
+    grid = (plan.n_rt, plan.n_kt)
+    nkt = plan.n_kt
+    cell_spec = pl.BlockSpec((1, 1, cellmax),
+                             lambda rt, kt: (rt * nkt + kt, 0, 0),
+                             memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        _make_stream_kernel3p(cellmax, unroll),
+        grid=grid,
+        in_specs=[
+            cell_spec,
+            cell_spec,
+            pl.BlockSpec((tk, ns, 128), lambda rt, kt: (kt, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tm, ns, 128), lambda rt, kt: (rt, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((plan.n_rt * tm, ns, 128),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * plan.nnz * n,
+            bytes_accessed=plan.n_rt * plan.n_kt * tk * n * 4
+            + plan.n_rt * tm * n * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            disable_bounds_checks=True,
+        ),
+        interpret=_interpret(),
+    )(plan.pk, plan.vv, b3)
     return out.reshape(plan.n_rt * tm, n)
 
 
@@ -227,6 +308,9 @@ def _spmm_stream(plan: StreamPlan, b_padded: jax.Array,
             + plan.n_rt * tm * n * 4,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=_interpret(),
     )(plan.ii, plan.kk, plan.vv, b_padded)
     return out
@@ -241,7 +325,9 @@ def spmm_stream(plan: StreamPlan, b: jax.Array,
     k_pad = plan.n_kt * plan.tile_k - b.shape[0]
     n_pad = (-b.shape[1]) % 128
     b_padded = jnp.pad(b.astype(jnp.float32), ((0, k_pad), (0, n_pad)))
-    if layout == "vreg":
+    if layout == "vregp":
+        out = _spmm_stream3p(plan, b_padded, unroll)
+    elif layout == "vreg":
         out = _spmm_stream3(plan, b_padded, unroll)
     else:
         out = _spmm_stream(plan, b_padded, unroll)
