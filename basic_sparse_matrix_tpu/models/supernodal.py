@@ -154,9 +154,14 @@ def _pow2(x: int) -> int:
 
 
 def _colq(rd: int) -> int:
-    """Pallas add-back column-buffer length for a group's rect rows:
-    128-aligned, then pow2-quantised to bound distinct kernel shapes."""
-    return _pow2(-(-rd // 128) * 128)
+    """Pallas add-back column-buffer length for a group's rect rows.
+    Mosaic tiles 1D f32 memrefs at 1024 elements and requires DMA slice
+    SHAPES to be tiling-aligned (offsets may be arbitrary — measured on
+    chip r4: a 512-long slice of the flat lvals array fails to compile
+    with "slice shape must be aligned to tiling (1024)"), so the buffer
+    is 1024-aligned, then pow2-quantised to bound distinct kernel
+    shapes."""
+    return _pow2(-(-rd // 1024) * 1024)
 
 
 def _upd_positions(base, meta, irows, ibelow, jrows, jcp, scratch,
@@ -726,7 +731,11 @@ def _delta_scatter(lvals, u3, meta, irows, ibelow, jrows,
         # Padded panels/columns cost nothing (twd-bounded trip count).
         St_q = _pow2(St)
         Wt_q = _pow2(Wt)
-        psh = jnp.pad(psh, ((0, St_q - St), (0, Wt_q - Wt), (0, 0)))
+        # +1024 trailing zeros: the kernel DMAs the enclosing 1024-aligned
+        # storage window and rotates the row into place, so the row must
+        # cover worst-case (window length, rotation wrap) — see
+        # ops/pallas/panel_addback.
+        psh = jnp.pad(psh, ((0, St_q - St), (0, Wt_q - Wt), (0, 1024)))
         tcp_q = jnp.pad(tcp, ((0, St_q - St), (0, Wt_q - Wt)))
         twd_q = jnp.pad(twd, (0, St_q - St))
         return panel_addback(lvals, psh, tcp_q, twd_q)
@@ -884,7 +893,7 @@ def _group_delta(sched: SupernodalSchedule, gi: int, mode: str) -> str:
 def _pallas_pad(sched: SupernodalSchedule, mode: str) -> int:
     """lvals padding needed so every pallas add-back column run (padded
     and pow2-quantised) stays in bounds."""
-    pads = [_colq(sched.delta_rmax[gi])
+    pads = [_colq(sched.delta_rmax[gi]) + 1024
             for gi in range(sched.n_groups)
             if _group_delta(sched, gi, mode) == "pallas"]
     return max(pads, default=0)

@@ -40,7 +40,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TILE_M = 2048
+# Measured r4 (stream_spmm_bench, 100k×32×512): 4096×2048 is best by a
+# hair (23.4 vs 24.6 ms at 2048²) and tile size is otherwise flat — the
+# kernel is issue-bound, not bandwidth-bound. 4096-row C tiles need the
+# raised scoped-VMEM limit the pallas_call now sets.
+DEFAULT_TILE_M = 4096
 DEFAULT_TILE_K = 2048
 
 
