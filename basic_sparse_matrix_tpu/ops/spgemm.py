@@ -31,6 +31,11 @@ XLA's static-shape model. We provide:
   a single permutation gather to destination order — ~2x fewer scalar
   gather issues than the two-gather formulation (the planned-merge chunk
   trick of :mod:`ops.elementwise`, generalised).
+  ``spgemm_numeric="rowgather"`` (r4) instead computes the expansion
+  products from a padded B-ELL with one ROW gather per A entry — a free
+  reshape when B's rows are uniform, an (nb, wB) element gather otherwise
+  — keeping only the single destination permutation on the scalar-issue
+  path (~E + nnz_a issues vs 2·E planned; the XLA formulation floor).
 """
 
 from __future__ import annotations
@@ -167,7 +172,7 @@ class _SpgemmPlan:
 
     __slots__ = ("indptr", "indices", "dst", "src_a", "src_b", "nnz_c",
                  "rows", "cols", "expansion", "_host_indptr",
-                 "_host_indices", "coal", "_mt", "_mt_args")
+                 "_host_indices", "coal", "rowg", "_mt", "_mt_args")
 
     def __init__(self, a: CSR, b: CSR):
         ia, xa, _ = a.numpy()
@@ -215,6 +220,10 @@ class _SpgemmPlan:
         # Issue-coalesced numeric maps (config spgemm_numeric="chunked"):
         # built from the EXPANSION-order structure before it is discarded.
         self.coal = self._try_coalesce(xa, ib, lens, offsets, total, order)
+        # Row-gather numeric maps (config spgemm_numeric="rowgather"):
+        # built while `within` is still in scope.
+        self.rowg = self._try_rowgather(xa, ib, b_len, within, src_a,
+                                        order, total)
         dst, src_a, src_b = dst[order], src_a[order], src_b[order]
         counts = np.zeros(a_rows, dtype=np.int64)
         np.add.at(counts, pattern // b_cols, 1)
@@ -232,6 +241,54 @@ class _SpgemmPlan:
         self._mt = False           # not yet built (lazy)
         self._mt_args = (ia, xa, a_rows, ib, xb)
         return self
+
+    def _try_rowgather(self, xa, ib, b_len, within, src_a, order, total,
+                       overhead_cap: float = 4.0,
+                       bytes_cap: int = 1 << 27):
+        """Row-gather numeric maps (config ``spgemm_numeric="rowgather"``):
+        compute the expansion products from a padded B-ELL with one ROW
+        gather per A entry (``bell[xa]`` — nnz_a row issues fetching wB
+        contiguous values each) instead of one scalar gather per expansion
+        entry, then bring them to destination order with the single
+        permutation gather. Scalar issues drop from 2·E (planned) to
+        ~E + nnz_a row issues — the formulation floor for an exact-pattern
+        XLA numeric phase. When B's rows are uniform, the ELL is a free
+        reshape of ``vals_b``; otherwise a (nb, wB) element gather builds
+        it (only worthwhile when nb·wB ≪ E). Returns None when the padded
+        layouts blow the overhead/bytes budget (skewed B) — callers fall
+        back to the standard maps."""
+        import numpy as np
+
+        E = int(total)
+        nnz_a = xa.shape[0]
+        if E < (1 << 14) or nnz_a == 0:
+            return None
+        wB = int(b_len.max()) if b_len.size else 0
+        if wB == 0:
+            return None
+        nb = b_len.shape[0]
+        uniform = int(b_len.min()) == wB
+        padded = nnz_a * wB + (0 if uniform else nb * wB)
+        if padded > overhead_cap * E or padded * 4 > bytes_cap \
+                or nnz_a * wB >= (1 << 31):
+            return None
+        if uniform:
+            ell_map = None
+        else:
+            s = np.arange(wB, dtype=np.int64)[None, :]
+            ib64 = np.asarray(ib, dtype=np.int64)
+            em = ib64[:-1, None] + s
+            nnz_b = int(ib64[-1])
+            em = np.where(s < b_len[:, None], em, nnz_b)  # -> appended zero
+            ell_map = jnp.asarray(em.astype(np.int32))
+        perm = (src_a * wB + within)[order]
+        return dict(
+            xa=jnp.asarray(np.asarray(xa).astype(np.int32)),
+            ell_map=ell_map,
+            perm=jnp.asarray(perm.astype(np.int32)),
+            wB=wB,
+            uniform=bool(uniform),
+        )
 
     def _try_coalesce(self, xa, ib, lens, offsets, total,
                       order, w: int = SPGEMM_CHUNK_W):
@@ -453,6 +510,30 @@ def _spgemm_mergetree_vals(vals_a, vals_b, maps, sizes, nnz_c: int,
     return p
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _spgemm_rowgather_vals(vals_a, vals_b, maps, nnz_c: int, wB: int,
+                           uniform: bool):
+    """Row-gather numeric phase (see _SpgemmPlan._try_rowgather): padded
+    B-ELL products via one ROW gather per A entry, one permutation gather
+    to destination order, sorted segment-sum."""
+    xa, ell_map, perm, dst = maps
+    dtype = jnp.result_type(vals_a, vals_b)
+    if uniform:
+        bell = vals_b.astype(dtype).reshape(-1, wB)
+    else:
+        vb = jnp.concatenate(
+            [vals_b.astype(dtype), jnp.zeros(1, dtype)])
+        bell = vb[ell_map]
+    prod = vals_a.astype(dtype)[:, None] * bell[xa]      # (nnz_a, wB)
+    # Barrier: without it XLA fuses the row gather INTO the permutation
+    # gather, reconstituting a per-expansion-entry double scalar gather —
+    # exactly the issue chain this formulation removes.
+    prod = jax.lax.optimization_barrier(prod)
+    contrib = prod.reshape(-1)[perm]
+    return jax.ops.segment_sum(contrib, dst, num_segments=nnz_c,
+                               indices_are_sorted=True)
+
+
 @partial(jax.jit, static_argnums=(3,))
 def _spgemm_planned_vals(vals_a, vals_b, plan_maps, nnz_c: int):
     dst, src_a, src_b = plan_maps
@@ -503,6 +584,11 @@ def _plan_numeric(plan: "_SpgemmPlan", vals_a, vals_b):
                     mt.rounds)
             return _spgemm_mergetree_vals(vals_a, vals_b, maps, mt.sizes,
                                           plan.nnz_c, mt.w)
+    if get_config().spgemm_numeric == "rowgather" and plan.rowg is not None:
+        rg = plan.rowg
+        return _spgemm_rowgather_vals(
+            vals_a, vals_b, (rg["xa"], rg["ell_map"], rg["perm"], plan.dst),
+            plan.nnz_c, rg["wB"], rg["uniform"])
     if coal is not None and get_config().spgemm_numeric == "chunked":
         maps = (coal["c1"], coal["c2"], coal["e1"], coal["e2"],
                 coal["boundary"], coal["local"], coal["perm"])

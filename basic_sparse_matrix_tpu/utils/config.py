@@ -99,6 +99,10 @@ class Config:
     # row nnz) rounds of pairwise sorted-stream merges on the ss_add chunk
     # kernel — no destination permutation and no scalar gathers at all;
     # falls back like "chunked" when streams are too short.
+    # "rowgather" (r4): expansion products from a padded B-ELL via one ROW
+    # gather per A entry (free reshape when B rows are uniform), then ONE
+    # permutation gather to destination order — ~E + nnz_a issues vs the
+    # planned path's 2·E; falls back when B is too skewed to ELL-pad.
     spgemm_numeric: str = "planned"
     # Numerics.
     matmul_precision: str = "highest"  # this env quantizes default matmuls

@@ -198,6 +198,28 @@ def main():
         results["longrow_mergetree_vs_planned"] = float(
             f"{lpdt / lmdt:.4g}")
         results["longrow_mergetree_vs_scipy"] = float(f"{best / lmdt:.4g}")
+
+    # Row-gather numeric (r4): padded B-ELL products via one row gather
+    # per A entry + ONE destination permutation — ~E + nnz_a issues vs
+    # the planned path's 2·E.
+    rg = lplan.rowg
+    results["longrow_rowgather_uniform"] = (rg["uniform"]
+                                            if rg is not None else None)
+    if rg is not None:
+        rmaps = (rg["xa"], rg["ell_map"], rg["perm"], lplan.dst)
+
+        def lr_step(operand, carry):
+            out = _sg._spgemm_rowgather_vals(
+                operand[0].values, carry, rmaps, lplan.nnz_c, rg["wB"],
+                rg["uniform"])
+            return out[: lb.stored]
+
+        lrdt = measure_loop(make_loop(lr_step), (la,), lb.values, i1=3,
+                            i2=23, reps=2)
+        results["tpu_longrow_rowgather_s"] = float(f"{lrdt:.4g}")
+        results["longrow_rowgather_vs_planned"] = float(
+            f"{lpdt / lrdt:.4g}")
+        results["longrow_rowgather_vs_scipy"] = float(f"{best / lrdt:.4g}")
     print(json.dumps({
         "metric": "ss_mul_head_to_head",
         "results": results,

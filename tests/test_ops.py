@@ -666,3 +666,96 @@ def test_spgemm_mergetree_falls_back_on_short_rows():
     A = sp.csr_matrix((va_, ixa, ipa), shape=(n, n))
     B = sp.csr_matrix((vb_, ixb, ipb), shape=(n, n))
     assert abs(C - A @ B).max() < 1e-3
+
+
+def test_spgemm_rowgather_matches_planned():
+    """The row-gather numeric phase (config spgemm_numeric="rowgather" —
+    padded B-ELL products via one row gather per A entry + one
+    destination permutation) produces the planned path's values on
+    uniform-B and ragged-B operands; the public wrapper routes through it
+    under the config and falls back on skewed B."""
+    import dataclasses as dc
+    import importlib
+
+    import scipy.sparse as sp
+
+    from basic_sparse_matrix_tpu.utils.config import get_config, set_config
+
+    sg = importlib.import_module("basic_sparse_matrix_tpu.ops.spgemm")
+
+    def gen(n, nnz_a, b_row_len, seed, ragged=False):
+        r = np.random.default_rng(seed)
+        ra, ca = r.integers(0, n, nnz_a), r.integers(0, n, nnz_a)
+        va = r.standard_normal(nnz_a).astype(np.float32)
+        if ragged:
+            lens = r.integers(b_row_len // 2, b_row_len + 1, n)
+            rb = np.repeat(np.arange(n), lens)
+            cb = r.integers(0, n, rb.shape[0])
+        else:
+            # distinct columns per row — duplicate (row, col) inserts
+            # dedup in from_coo_arrays and would break uniformity
+            rb = np.repeat(np.arange(n), b_row_len)
+            cb = ((np.arange(b_row_len)[None, :] * 7
+                   + r.integers(0, n, (n, 1))) % n).ravel()
+        vb = r.standard_normal(rb.shape[0]).astype(np.float32)
+        return (CSR.from_coo_arrays((n, n), ra, ca, va),
+                CSR.from_coo_arrays((n, n), rb, cb, vb))
+
+    for n, nnz_a, blen, seed, ragged in [
+            (1500, 3000, 64, 1, False), (400, 2400, 64, 3, True),
+            (1000, 2000, 48, 4, True)]:
+        a, b = gen(n, nnz_a, blen, seed, ragged)
+        plan = sg._SpgemmPlan(a, b)
+        rg = plan.rowg
+        assert rg is not None, (n, nnz_a, blen)
+        assert rg["uniform"] == (not ragged)
+        ref = np.asarray(sg._spgemm_planned_vals(
+            a.values, b.values, (plan.dst, plan.src_a, plan.src_b),
+            plan.nnz_c))
+        got = np.asarray(sg._spgemm_rowgather_vals(
+            a.values, b.values,
+            (rg["xa"], rg["ell_map"], rg["perm"], plan.dst),
+            plan.nnz_c, rg["wB"], rg["uniform"]))
+        err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
+        assert err < 1e-5, (n, nnz_a, blen, err)
+
+    # Public wrapper under the config + scipy oracle.
+    a, b = gen(1500, 3000, 64, 9)
+    cfg = get_config()
+    try:
+        set_config(dc.replace(cfg, spgemm_numeric="rowgather"))
+        out = sg.spgemm_planned(a, b)
+    finally:
+        set_config(cfg)
+    ip, ix, vv = out.numpy()
+    C = sp.csr_matrix((vv, ix, ip), shape=(1500, 1500))
+    ipa, ixa, va_ = a.numpy()
+    ipb, ixb, vb_ = b.numpy()
+    A = sp.csr_matrix((va_, ixa, ipa), shape=(1500, 1500))
+    B = sp.csr_matrix((vb_, ixb, ipb), shape=(1500, 1500))
+    assert abs(C - A @ B).max() < 1e-3
+
+    # Skewed B (one dense row): the ELL pad blows the overhead budget,
+    # rowg is None, and the config path falls back to planned.
+    r = np.random.default_rng(11)
+    n = 2000
+    ra, ca = r.integers(0, n, 40_000), r.integers(0, n, 40_000)
+    va = r.standard_normal(40_000).astype(np.float32)
+    rb = np.concatenate([np.zeros(n, np.int64),
+                         r.integers(1, n, 4000)])
+    cb = np.concatenate([np.arange(n), r.integers(0, n, 4000)])
+    vb = r.standard_normal(rb.shape[0]).astype(np.float32)
+    a2 = CSR.from_coo_arrays((n, n), ra, ca, va)
+    b2 = CSR.from_coo_arrays((n, n), rb, cb, vb)
+    plan2 = sg._SpgemmPlan(a2, b2)
+    assert plan2.rowg is None
+    try:
+        set_config(dc.replace(cfg, spgemm_numeric="rowgather"))
+        out2 = sg.spgemm_planned(a2, b2)
+    finally:
+        set_config(cfg)
+    ip2, ix2, vv2 = out2.numpy()
+    C2 = sp.csr_matrix((vv2, ix2, ip2), shape=(n, n))
+    A2 = sp.csr_matrix((va, (ra, ca)), shape=(n, n))
+    B2 = sp.csr_matrix((vb, (rb, cb)), shape=(n, n))
+    assert abs(C2 - A2 @ B2).max() < 1e-3
