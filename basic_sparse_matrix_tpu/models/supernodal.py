@@ -113,6 +113,11 @@ class SupernodalSchedule:
     # static per-group: pallas add-back eligibility (bounded VMEM window)
     use_pallas: Tuple[bool, ...] = dataclasses.field(
         metadata=dict(static=True))
+    # static per-group: window gathers win the read side (long runs; a
+    # window issue costs ~0.8 us vs ~6 ns per element, break-even around
+    # I+J ~ 144 — measured on chip, see BENCH_RESULTS r4)
+    use_window: Tuple[bool, ...] = dataclasses.field(
+        metadata=dict(static=True))
     nnz_l: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
 
@@ -141,7 +146,7 @@ jax.tree_util.register_dataclass(
     data_fields=["a_src_pos", "a_vals_idx", "flat_i32", "flat_u16",
                  "flat_bool"],
     meta_fields=["layout", "panel_rmax", "delta_rmax", "use_delta",
-                 "use_pallas", "nnz_l", "n"],
+                 "use_pallas", "use_window", "nnz_l", "n"],
 )
 
 # Scatter-element floor below which the pallas add-back cannot amortise
@@ -439,7 +444,7 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
     upd_base, upd_meta = [], []
     upd_irows, upd_ibelow, upd_jrows, upd_jcp = [], [], [], []
     tgt_cp, tgt_nrows, tgt_w, upd_seg = [], [], [], []
-    delta_rmax, use_delta, use_pallas = [], [], []
+    delta_rmax, use_delta, use_pallas, use_window = [], [], [], []
     for ei, (ups, _panel_lv) in enumerate(entries):
         # Sort updates by target panel: the delta formulation's segment
         # merge wants runs, and update order within a level is arbitrary
@@ -563,6 +568,14 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         # (+ the rowmap temp's HBM traffic, covered by the 1.2).
         use_delta.append(bool(ups) and rect_scatter * 1.2 < elem_scatter
                          and rowmap_mb < 1024)
+        # Per-level gather choice (config supernodal_gather="auto"): a
+        # window issue (vmapped dynamic_slice) costs ~0.8 us against
+        # ~6 ns per element gather, so windows win only when the runs
+        # they replace are long — break-even at I+J ≈ 144 measured on
+        # chip (level_step_probe + the r4 k=33 chunk split, where
+        # element beat window on the leaf chunks and lost 5× on the
+        # separator chunks).
+        use_window.append(bool(ups) and maxI + maxJ >= 144)
 
     # ------------- panel tables (compact: col_ptr vectors) -------------
     panel_cp, panel_r, top_valid = [], [], []
@@ -652,6 +665,7 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         delta_rmax=tuple(delta_rmax[lv] for lv in _group_starts),
         use_delta=tuple(use_delta[lv] for lv in _group_starts),
         use_pallas=tuple(use_pallas[lv] for lv in _group_starts),
+        use_window=tuple(use_window[lv] for lv in _group_starts),
         nnz_l=nnz_l,
         n=n,
     )
@@ -857,16 +871,28 @@ def _run_group(lvals, tabs, R: int, Rd: int, scratch: int,
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
-def _groups_chunk(sched, lvals, gis, smodes, window: bool = False):
+def _groups_chunk(sched, lvals, gis, smodes, window=False):
     """One device program covering a bounded slice of the group schedule.
     ``gis`` (static tuple of group indices) selects the slice; tables are
-    sliced from the schedule's packed buffers at trace time."""
+    sliced from the schedule's packed buffers at trace time. ``window``
+    is a bool or "auto" (per-group host choice, _group_window)."""
     scratch = sched.nnz_l
     for gi, sm in zip(gis, smodes):
         lvals = _run_group(lvals, _group_tabs(sched, gi),
                            sched.panel_rmax[gi], sched.delta_rmax[gi],
-                           scratch, window, sm)
+                           scratch, _group_window(sched, gi, window), sm)
     return lvals
+
+
+def _group_window(sched: SupernodalSchedule, gi: int, window) -> bool:
+    """Resolve the per-group gather formulation under config
+    supernodal_gather: True/False ("window"/"element") force one path for
+    every group; "auto" takes the host's per-group choice (window where
+    the replaced runs are long enough to amortise the ~0.8 us window
+    issue — use_window)."""
+    if window == "auto":
+        return bool(sched.use_window[gi])
+    return bool(window)
 
 
 def _group_delta(sched: SupernodalSchedule, gi: int, mode: str) -> str:
@@ -899,19 +925,25 @@ def _pallas_pad(sched: SupernodalSchedule, mode: str) -> int:
     return max(pads, default=0)
 
 
+def _needs_win_pad(sched: SupernodalSchedule, window) -> bool:
+    if window == "auto":
+        return any(sched.use_window)
+    return bool(window)
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def _factorize_supernodal_whole(sched: SupernodalSchedule,
                                 a_values: jax.Array,
-                                window: bool = False,
+                                window=False,
                                 scatter_mode: str = "auto") -> jax.Array:
-    pad = 1 + (_win_pad(sched) if window else 0) \
+    pad = 1 + (_win_pad(sched) if _needs_win_pad(sched, window) else 0) \
         + _pallas_pad(sched, scatter_mode)
     lvals = _init_lvals(sched, a_values, pad)
     scratch = sched.nnz_l
     for gi in range(sched.n_groups):
         lvals = _run_group(lvals, _group_tabs(sched, gi),
                            sched.panel_rmax[gi], sched.delta_rmax[gi],
-                           scratch, window,
+                           scratch, _group_window(sched, gi, window),
                            _group_delta(sched, gi, scatter_mode))
     return lvals[: sched.nnz_l]
 
@@ -931,14 +963,16 @@ def factorize_supernodal(sched: SupernodalSchedule,
     from ..utils.config import get_config
 
     cfg = get_config()
-    window = cfg.supernodal_gather == "window"
+    window = ("auto" if cfg.supernodal_gather == "auto"
+              else cfg.supernodal_gather == "window")
     mode = cfg.supernodal_scatter
     n_g = sched.n_groups
     G = cfg.supernodal_groups_per_program
     if (not G or n_g <= G
             or isinstance(a_values, jax.core.Tracer)):
         return _factorize_supernodal_whole(sched, a_values, window, mode)
-    pad = 1 + (_win_pad(sched) if window else 0) + _pallas_pad(sched, mode)
+    pad = 1 + (_win_pad(sched) if _needs_win_pad(sched, window) else 0) \
+        + _pallas_pad(sched, mode)
     lvals = _init_lvals(sched, a_values, pad)
     for c0 in range(0, n_g, G):
         gis = tuple(range(c0, min(c0 + G, n_g)))

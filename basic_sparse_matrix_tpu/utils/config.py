@@ -51,11 +51,15 @@ class Config:
     # one program.
     supernodal_groups_per_program: int = 48
     # Supernodal numeric READS: "element" (positions rebuilt in-register,
-    # one scalar gather per element) or "window" (one dynamic-slice issue
-    # per contiguous base+rank run — U·W instead of U·(I+J)·W issues; the
-    # scalar-gather issue rate is what bounds the phase at n=36k).
-    # Flip after benchmarks/level_step_probe.py confirms on chip.
-    supernodal_gather: str = "element"
+    # one scalar gather per element), "window" (one dynamic-slice issue
+    # per contiguous base+rank run — U·W instead of U·(I+J)·W issues), or
+    # "auto" (host picks per level: window when I+J >= 144, the measured
+    # break-even between the ~0.8 us window issue and ~6 ns element
+    # gathers). Measured r4 at n=35937 (BENCH_RESULTS): window/auto
+    # numeric 3.26 s vs 6.24 s r3 element baseline; element additionally
+    # cannot compile 48-group programs at this scale (per-element
+    # position rebuilds OOM the compile helper), window/auto can.
+    supernodal_gather: str = "auto"
     # Supernodal update SCATTER: "element" (per-element positions rebuilt
     # in-register — U·I·J scatter issues at ~10 ns each), "delta" (embed
     # updates into their target panels' dense trapezoid rects via one-hot

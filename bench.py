@@ -419,13 +419,15 @@ def main():
     _sn_sched = _sn.analyze_supernodal(_sn_a, relax=32)
     sn_analyze_s = time.time() - _t0
     _cfg = _getcfg()
-    _sn_win = _cfg.supernodal_gather == "window"
+    _sn_win = ("auto" if _cfg.supernodal_gather == "auto"
+               else _cfg.supernodal_gather == "window")
     _sn_mode = _cfg.supernodal_scatter
     _n_g = _sn_sched.n_groups
     _sn_gis = tuple(range(_n_g))
     _sn_sm = tuple(_sn._group_delta(_sn_sched, gi, _sn_mode)
                    for gi in range(_n_g))
-    _sn_pad = 1 + (_sn._win_pad(_sn_sched) if _sn_win else 0) \
+    _sn_pad = 1 + (_sn._win_pad(_sn_sched)
+                   if _sn._needs_win_pad(_sn_sched, _sn_win) else 0) \
         + _sn._pallas_pad(_sn_sched, _sn_mode)
     _sn_lv0 = _sn._init_lvals(_sn_sched, _sn_a.values, _sn_pad)
 

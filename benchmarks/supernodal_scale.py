@@ -80,9 +80,10 @@ def main():
     print(json.dumps({"analyze": rec}), flush=True)
 
     cfg = get_config()
-    win = cfg.supernodal_gather == "window"
+    win = ("auto" if cfg.supernodal_gather == "auto"
+           else cfg.supernodal_gather == "window")
     mode = cfg.supernodal_scatter
-    pad = 1 + (sn._win_pad(sched) if win else 0) \
+    pad = 1 + (sn._win_pad(sched) if sn._needs_win_pad(sched, win) else 0) \
         + sn._pallas_pad(sched, mode)
     lvals0 = jax.block_until_ready(
         sn._init_lvals(sched, ap_.values, pad))

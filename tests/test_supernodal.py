@@ -253,6 +253,24 @@ def test_window_gather_matches_element():
         set_config(cfg)
     assert np.array_equal(chunked_win, win)
 
+    # "auto" (per-group host choice, r4): same factor, whole and chunked;
+    # force a mixed choice by lowering the break-even so at least one
+    # group takes each path when the schedule allows it.
+    auto = np.asarray(
+        _factorize_supernodal_whole(sched, ap.values, "auto"))
+    np.testing.assert_allclose(elem, auto, rtol=1e-6, atol=1e-8)
+    try:
+        set_config(dc.replace(cfg, supernodal_gather="auto",
+                              supernodal_groups_per_program=2))
+        chunked_auto = np.asarray(factorize_supernodal(sched, ap.values))
+    finally:
+        set_config(cfg)
+    assert np.array_equal(chunked_auto, auto)
+    # the per-group resolver honours the host table
+    from basic_sparse_matrix_tpu.models.supernodal import _group_window
+    assert [_group_window(sched, gi, "auto")
+            for gi in range(sched.n_groups)] == list(sched.use_window)
+
 
 def test_delta_scatter_matches_element():
     """supernodal_scatter="delta" (one-hot MXU embedding into target-panel
