@@ -547,7 +547,12 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         delta_elems = max(U * maxI * rmax_d, U * maxI * Wt,
                           U * rmax_d * Wt, St * rmax_d * Wt)
         rowmap_mb = delta_elems * 4 / 2**20
-        shear_mb = (Wt * _colq(rmax_d) * rmax_d) * 4 / 2**20
+        # Guard the shear temp at the PADDED shape _delta_scatter actually
+        # allocates: psh is (pow2(St), pow2(Wt), colq(Rd) + 1024 window
+        # slack) after panel/column quantisation (ADVICE r4 — the
+        # unpadded Wt·colq(Rd)·Rd estimate under-counted near the cap).
+        shear_mb = (_pow2(St) * _pow2(Wt)
+                    * (_colq(rmax_d) + 1024)) * 4 / 2**20
         # pallas add-back cost = 2 DMAs per LIVE column; a DMA pair costs
         # ~2-3 us against ~10 ns per scatter element, so it pays when the
         # per-column element budget exceeds ~300 (calibrate on chip with

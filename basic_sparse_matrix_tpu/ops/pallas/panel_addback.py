@@ -63,7 +63,7 @@ _TILE = 1024  # Mosaic 1D f32 memref tiling (elements)
 _LANES = 128
 
 
-def _make_kernel(n_cols: int, r2: int):
+def _make_kernel(r2: int):
     """``r2`` = window rows (window length / 128, a multiple of 8)."""
     def kernel(tcp_ref, twd_ref, lv_in, p_ref, lv_out,
                buf, sem_in, sem_out):
@@ -133,7 +133,7 @@ def panel_addback(lvals: jax.Array, psh: jax.Array, tcp: jax.Array,
     # (PERF_NOTES r1); the index tables are only read inside the kernel
     # body, never by BlockSpec index maps, so prefetch buys nothing.
     out = pl.pallas_call(
-        _make_kernel(n_cols, col_len // _LANES),
+        _make_kernel(col_len // _LANES),
         grid=(st_count,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

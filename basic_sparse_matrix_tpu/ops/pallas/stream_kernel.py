@@ -60,7 +60,6 @@ class StreamPlan:
     ii: jax.Array        # (ncells, 1, cellmax) int32 — tile-local row index
     kk: jax.Array        # (ncells, 1, cellmax) int32 — tile-local col index
     vv: jax.Array        # (ncells, 1, cellmax) f32 — value (0 = sentinel)
-    pk: jax.Array        # (ncells, 1, cellmax) int32 — (i << 16) | k packed
     rows: int = dataclasses.field(metadata=dict(static=True))
     cols: int = dataclasses.field(metadata=dict(static=True))
     tile_m: int = dataclasses.field(metadata=dict(static=True))
@@ -76,6 +75,22 @@ class StreamPlan:
     @property
     def pad_factor(self) -> float:
         return self.ii.shape[0] * self.ii.shape[-1] / max(self.nnz, 1)
+
+    @property
+    def pk(self) -> jax.Array:
+        """Packed ``(i << 16) | k`` indices for the ``vregp`` layout —
+        built lazily ON DEVICE (one elementwise op, no host upload) the
+        first time the packed-index kernel runs, and memoised on the
+        instance. Default-layout plans never pay for it."""
+        cached = self.__dict__.get("_pk")
+        if cached is None:
+            if not (self.tile_m < 32768 and self.tile_k <= 65536):
+                raise ValueError(
+                    f"vregp packing needs tile_m < 2^15 and tile_k <= "
+                    f"2^16; got ({self.tile_m}, {self.tile_k})")
+            cached = jax.jit(lambda i, k: (i << 16) | k)(self.ii, self.kk)
+            object.__setattr__(self, "_pk", cached)
+        return cached
 
 
 def build_stream_plan(rows_idx: np.ndarray, cols_idx: np.ndarray,
@@ -113,13 +128,8 @@ def build_stream_plan(rows_idx: np.ndarray, cols_idx: np.ndarray,
     ii[cell, 0, slot] = (rows_idx[order] % tile_m).astype(np.int32)
     kk[cell, 0, slot] = (cols_idx[order] % tile_k).astype(np.int32)
     vv[cell, 0, slot] = vals[order]
-    # Packed (i << 16) | k: one SMEM scalar read per entry instead of two
-    # on the issue-bound per-entry chain (requires tile_m < 2^15,
-    # tile_k <= 2^16 — both orders of magnitude above useful tiles).
-    pk = (ii << 16) | kk
     return StreamPlan(
         ii=jnp.asarray(ii), kk=jnp.asarray(kk), vv=jnp.asarray(vv),
-        pk=jnp.asarray(pk),
         rows=rows, cols=cols, tile_m=tile_m, tile_k=tile_k,
         n_rt=n_rt, n_kt=n_kt, nnz=nnz)
 
@@ -224,8 +234,8 @@ def _make_stream_kernel3p(cellmax: int, unroll: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _spmm_stream3p(plan: StreamPlan, b_padded: jax.Array,
+@functools.partial(jax.jit, static_argnums=(3,))
+def _spmm_stream3p(plan: StreamPlan, pk: jax.Array, b_padded: jax.Array,
                    unroll: int) -> jax.Array:
     tm, tk = plan.tile_m, plan.tile_k
     n = b_padded.shape[1]
@@ -259,7 +269,7 @@ def _spmm_stream3p(plan: StreamPlan, b_padded: jax.Array,
             disable_bounds_checks=True,
         ),
         interpret=_interpret(),
-    )(plan.pk, plan.vv, b3)
+    )(pk, plan.vv, b3)
     return out.reshape(plan.n_rt * tm, n)
 
 
@@ -330,7 +340,7 @@ def spmm_stream(plan: StreamPlan, b: jax.Array,
     n_pad = (-b.shape[1]) % 128
     b_padded = jnp.pad(b.astype(jnp.float32), ((0, k_pad), (0, n_pad)))
     if layout == "vregp":
-        out = _spmm_stream3p(plan, b_padded, unroll)
+        out = _spmm_stream3p(plan, plan.pk, b_padded, unroll)
     elif layout == "vreg":
         out = _spmm_stream3(plan, b_padded, unroll)
     else:

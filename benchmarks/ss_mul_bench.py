@@ -31,7 +31,35 @@ def _gen(seed, n, nnz):
             (r.integers(0, 2**32, nnz) % 255 + 1).astype(np.float32))
 
 
-def cpu_baseline(n, nnz, seeds, reps=5):
+def _loadavg():
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:  # pragma: no cover
+        return None
+
+
+def _timed_matmat(A, B, reps):
+    """Pinned baseline protocol (VERDICT r4): exactly ``reps`` wall-clock
+    runs, report best AND median, record 1-min loadavg before/after so
+    1.x× conclusions can be checked against host-load noise (measured
+    spread 225–545 ms across one r4 day)."""
+    load0 = _loadavg()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = A @ B
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return {
+        "best": times[0],
+        "median": times[len(times) // 2],
+        "reps": reps,
+        "loadavg": [load0, _loadavg()],
+    }
+
+
+def cpu_baseline(n, nnz, seeds, reps=9):
     import scipy.sparse as sp
 
     mats = []
@@ -41,12 +69,8 @@ def cpu_baseline(n, nnz, seeds, reps=5):
         m.sum_duplicates()
         mats.append(m)
     A, B = mats
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _ = A @ B
-        best = min(best, time.perf_counter() - t0)
-    return best, int(A.nnz), int(B.nnz), int((A @ B).nnz)
+    stats = _timed_matmat(A, B, reps)
+    return stats, int(A.nnz), int(B.nnz), int((A @ B).nnz)
 
 
 def main():
@@ -56,12 +80,20 @@ def main():
     args = ap.parse_args()
 
     results = {}
-    t_ref, nnz_a, nnz_b, nnz_c = cpu_baseline(1000, args.nnz, (3000, 4000))
+    s_ref, nnz_a, nnz_b, nnz_c = cpu_baseline(1000, args.nnz, (3000, 4000))
+    t_ref = s_ref["best"]
     results["cpu_scipy_1000_s"] = float(f"{t_ref:.4g}")
+    results["cpu_scipy_1000_stats"] = {
+        k: (float(f"{v:.4g}") if isinstance(v, float) else v)
+        for k, v in s_ref.items()}
     results["ref_nnz"] = [nnz_a, nnz_b, nnz_c]
-    t_big, bnnz_a, bnnz_b, bnnz_c = cpu_baseline(100_000, args.nnz,
+    s_big, bnnz_a, bnnz_b, bnnz_c = cpu_baseline(100_000, args.nnz,
                                                  (5000, 6000))
+    t_big = s_big["best"]
     results["cpu_scipy_100k_s"] = float(f"{t_big:.4g}")
+    results["cpu_scipy_100k_stats"] = {
+        k: (float(f"{v:.4g}") if isinstance(v, float) else v)
+        for k, v in s_big.items()}
     results["big_nnz"] = [bnnz_a, bnnz_b, bnnz_c]
     print(json.dumps({"baseline": results}), flush=True)
     if args.skip_tpu:
@@ -133,12 +165,12 @@ def main():
 
     A_ = sp.coo_matrix((va, (ra, ca)), shape=(n_lr, n_lr)).tocsr()
     B_ = sp.coo_matrix((vb, (rb, cb)), shape=(n_lr, n_lr)).tocsr()
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = A_ @ B_
-        best = min(best, time.perf_counter() - t0)
+    lr_stats = _timed_matmat(A_, B_, reps=9)
+    best = lr_stats["best"]
     results["cpu_scipy_longrow_s"] = float(f"{best:.4g}")
+    results["cpu_scipy_longrow_stats"] = {
+        k: (float(f"{v:.4g}") if isinstance(v, float) else v)
+        for k, v in lr_stats.items()}
 
     lplan = _sg._SpgemmPlan(la, lb)
     results["longrow_expansion"] = lplan.expansion
