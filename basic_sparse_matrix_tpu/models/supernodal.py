@@ -113,6 +113,14 @@ class SupernodalSchedule:
     # static per-group: pallas add-back eligibility (bounded VMEM window)
     use_pallas: Tuple[bool, ...] = dataclasses.field(
         metadata=dict(static=True))
+    # static per-group: VMEM-resident add-back (ops.pallas.addback_resident)
+    # kernel shape class (CQ, col_pad) where the temps FIT, else None, and
+    # the host's cost-model choice (auto mode routes through vmem only
+    # where it WINS). Shapes are quantized per MATRIX (1-3 classes) so the
+    # whole factorization costs 1-3 Mosaic compiles.
+    vmem_shape: Tuple = dataclasses.field(metadata=dict(static=True))
+    use_vmem: Tuple[bool, ...] = dataclasses.field(
+        metadata=dict(static=True))
     # static per-group: window gathers win the read side (long runs; a
     # window issue costs ~0.8 us vs ~6 ns per element, break-even around
     # I+J ~ 144 — measured on chip, see BENCH_RESULTS r4)
@@ -146,12 +154,21 @@ jax.tree_util.register_dataclass(
     data_fields=["a_src_pos", "a_vals_idx", "flat_i32", "flat_u16",
                  "flat_bool"],
     meta_fields=["layout", "panel_rmax", "delta_rmax", "use_delta",
-                 "use_pallas", "use_window", "nnz_l", "n"],
+                 "use_pallas", "use_window", "nnz_l", "n", "vmem_shape",
+                 "use_vmem"],
 )
 
 # Scatter-element floor below which the pallas add-back cannot amortise
 # its DMA issues (+ per-shape Mosaic compiles); see analyze's choice.
 _PALLAS_MIN_ELEMENTS = 1 << 20
+
+# VMEM-resident add-back (ops.pallas.addback_resident) budgets: the whole
+# factor value array plus the padded sheared-delta block must sit in
+# scoped VMEM together (the kernel raises the scope to 120 MB).
+_VMEM_LVALS_BUDGET = 60 * 2**20          # nnz_l * 4 bytes
+_VMEM_PSH_BUDGET = 24 * 2**20            # unpadded St*Wt*col_pad*4 bytes
+_VMEM_COL_CLASSES = (512, 2048, 8192)    # col_pad quantisation
+_VMEM_CQ_CAP = {512: 1 << 14, 2048: 1 << 12, 8192: 1 << 10}
 
 
 def _pow2(x: int) -> int:
@@ -445,6 +462,7 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
     upd_irows, upd_ibelow, upd_jrows, upd_jcp = [], [], [], []
     tgt_cp, tgt_nrows, tgt_w, upd_seg = [], [], [], []
     delta_rmax, use_delta, use_pallas, use_window = [], [], [], []
+    vm_fit, vm_win, vm_cols, vm_colneed = [], [], [], []
     for ei, (ups, _panel_lv) in enumerate(entries):
         # Sort updates by target panel: the delta formulation's segment
         # merge wants runs, and update order within a level is arbitrary
@@ -581,6 +599,31 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         # element beat window on the leaf chunks and lost 5× on the
         # separator chunks).
         use_window.append(bool(ups) and maxI + maxJ >= 144)
+        # VMEM-resident add-back candidate (ops.pallas.addback_resident):
+        # per live column ~(col_pad/128)*6 VPU ops on VMEM-resident factor
+        # values instead of per-element scatter issues. Cost model per
+        # level: kernel column loop + lvals/psh DMA pair (+ the merge
+        # einsums where the incumbent was element mode and would not have
+        # paid them). Shapes are class-quantized after grouping.
+        col_need = -(-(rmax_d + 1) // 128) * 128 + 128
+        vm_c = St * Wt
+        einsum_macs = (U * maxI * maxJ * Wt + U * maxI * rmax_d * Wt
+                       + St * U * rmax_d * Wt)
+        kern_s = vm_c * (col_need // 128) * 8 * 1.06e-9
+        dma_s = (nnz_l * 8 + vm_c * col_need * 4) / 700e9
+        extra_s = 0.0 if (use_pallas[-1] or use_delta[-1]) \
+            else einsum_macs / 5e12
+        incumbent_s = (rect_scatter
+                       if (use_pallas[-1] or use_delta[-1])
+                       else elem_scatter) * 10e-9
+        temps_ok = (rowmap_mb < 1024
+                    and St * Wt * (col_need + Wt) * 4 < 2**30
+                    and vm_c * col_need * 4 <= _VMEM_PSH_BUDGET)
+        vm_fit.append(bool(ups) and temps_ok and col_need <= 8192)
+        vm_win.append(use_pallas[-1]
+                      or (kern_s + dma_s + extra_s) * 1.2 < incumbent_s)
+        vm_cols.append(vm_c)
+        vm_colneed.append(col_need)
 
     # ------------- panel tables (compact: col_ptr vectors) -------------
     panel_cp, panel_r, top_valid = [], [], []
@@ -627,6 +670,7 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
                and delta_rmax[j] == delta_rmax[lv]
                and use_delta[j] == use_delta[lv]
                and use_pallas[j] == use_pallas[lv]
+               and vm_fit[j] == vm_fit[lv] and vm_win[j] == vm_win[lv]
                and all(t[j].shape == t[lv].shape for t in per_level)):
             j += 1
         for gl, t in zip(grouped, per_level):
@@ -658,6 +702,29 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
             return jnp.asarray(np.concatenate(chunks[bid]))
         return jnp.zeros((0,), dtype=_BUF_DTYPES[bid])
 
+    # ---- VMEM add-back shape classes (1-3 Mosaic compiles per matrix) ----
+    # col_pad classes are fixed; CQ (flattened column-slot count) is the
+    # pow2 max over the class's groups so every group in a class shares
+    # ONE kernel shape. The whole-lvals residency gate disables the path
+    # when the factor values alone would blow the scoped-VMEM budget.
+    lvals_fit = nnz_l * 4 <= _VMEM_LVALS_BUDGET
+    g_class = []
+    cls_max_cols: dict = {}
+    for lv in _group_starts:
+        cc = None
+        if lvals_fit and vm_fit[lv]:
+            cc = next((c for c in _VMEM_COL_CLASSES
+                       if c >= vm_colneed[lv]
+                       and vm_cols[lv] <= _VMEM_CQ_CAP[c]), None)
+        g_class.append(cc)
+        if cc is not None:
+            cls_max_cols[cc] = max(cls_max_cols.get(cc, 1), vm_cols[lv])
+    cls_cq = {cc: _pow2(m) for cc, m in cls_max_cols.items()}
+    vmem_shape = tuple((cls_cq[cc], cc) if cc is not None else None
+                       for cc in g_class)
+    use_vmem = tuple(cc is not None and vm_win[lv]
+                     for cc, lv in zip(g_class, _group_starts))
+
     sched = SupernodalSchedule(
         a_src_pos=jnp.asarray(a_src_pos.astype(np.int32)),
         a_vals_idx=jnp.asarray(a_vals_idx.astype(np.int32)),
@@ -671,6 +738,8 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         use_delta=tuple(use_delta[lv] for lv in _group_starts),
         use_pallas=tuple(use_pallas[lv] for lv in _group_starts),
         use_window=tuple(use_window[lv] for lv in _group_starts),
+        vmem_shape=vmem_shape,
+        use_vmem=use_vmem,
         nnz_l=nnz_l,
         n=n,
     )
@@ -684,7 +753,7 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
 
 def _delta_scatter(lvals, u3, meta, irows, ibelow, jrows,
                    tcp, tnr, twd, seg, Rd: int,
-                   scratch: int, mode: str = "delta"):
+                   scratch: int, mode: str = "delta", vshape=None):
     """Apply a level's updates as TARGET-PANEL RECT deltas instead of
     per-element scatters. Each target panel's storage is one contiguous
     trapezoid whose (row rank r, col rank w) element sits at
@@ -732,6 +801,20 @@ def _delta_scatter(lvals, u3, meta, irows, ibelow, jrows,
     d = jnp.einsum("uij,ujw->uiw", u3, colmap, precision=prec)
     e = jnp.einsum("uir,uiw->urw", rowmap, d, precision=prec)
     p = jnp.einsum("su,urw->srw", segmap, e, precision=prec)
+    if mode == "vmem":
+        from ..ops.pallas.addback_resident import (
+            addback_resident,
+            shear_reshape,
+        )
+
+        cq, col_pad = vshape
+        psh = shear_reshape(-p, col_pad)               # (St, Wt, col_pad)
+        psh2 = jnp.pad(psh.reshape(St * Wt, col_pad),
+                       ((0, cq - St * Wt), (0, 0)))
+        wv = jnp.arange(Wt, dtype=jnp.int32)[None, :]
+        tcpf = jnp.where(wv < twd[:, None], tcp, -1).reshape(-1)
+        tcpf = jnp.pad(tcpf, (0, cq - St * Wt), constant_values=-1)
+        return addback_resident(lvals, psh2, tcpf.astype(jnp.int32))
     if mode == "pallas":
         from ..ops.pallas.panel_addback import panel_addback
 
@@ -767,7 +850,8 @@ def _delta_scatter(lvals, u3, meta, irows, ibelow, jrows,
 
 
 def _level_step(lvals, tabs, R: int, Rd: int, scratch: int,
-                window: bool = False, smode: str = "element"):
+                window: bool = False, smode: str = "element",
+                vshape=None):
     """One fan-in level: batched MXU panel updates + panel finalisation.
     ``tabs`` holds the COMPACT per-level tables; the full position arrays
     are rebuilt in-register (integer VPU work instead of 3 GB-scale HBM
@@ -792,9 +876,10 @@ def _level_step(lvals, tabs, R: int, Rd: int, scratch: int,
         B = lvals[gb]                          # (U, J, W)
     U = jnp.einsum("uiw,ujw->uij", A, B,
                    precision=jax.lax.Precision.HIGHEST)
-    if smode in ("delta", "pallas"):
+    if smode in ("delta", "pallas", "vmem"):
         lvals = _delta_scatter(lvals, U, meta, irows, ibelow, jrows,
-                               tcp, tnr, twd, seg, Rd, scratch, smode)
+                               tcp, tnr, twd, seg, Rd, scratch, smode,
+                               vshape)
     else:
         _, _, sc = _upd_positions(base, meta, irows, ibelow, jrows, jcp,
                                   scratch, build_gathers=False)
@@ -863,13 +948,13 @@ def _init_lvals(sched: SupernodalSchedule, a_values: jax.Array,
 
 
 def _run_group(lvals, tabs, R: int, Rd: int, scratch: int,
-               window: bool, smode: str):
+               window: bool, smode: str, vshape=None):
     if tabs[0].shape[0] == 1:
         return _level_step(lvals, tuple(t[0] for t in tabs), R, Rd,
-                           scratch, window, smode)
+                           scratch, window, smode, vshape)
     lvals, _ = jax.lax.scan(
         lambda lv, t, _R=R, _Rd=Rd: (
-            _level_step(lv, t, _R, _Rd, scratch, window, smode),
+            _level_step(lv, t, _R, _Rd, scratch, window, smode, vshape),
             None),
         lvals, tabs)
     return lvals
@@ -885,7 +970,8 @@ def _groups_chunk(sched, lvals, gis, smodes, window=False):
     for gi, sm in zip(gis, smodes):
         lvals = _run_group(lvals, _group_tabs(sched, gi),
                            sched.panel_rmax[gi], sched.delta_rmax[gi],
-                           scratch, _group_window(sched, gi, window), sm)
+                           scratch, _group_window(sched, gi, window), sm,
+                           sched.vmem_shape[gi] if sm == "vmem" else None)
     return lvals
 
 
@@ -916,18 +1002,29 @@ def _group_delta(sched: SupernodalSchedule, gi: int, mode: str) -> str:
         # floor (the floor gates "auto" only) so tests can actually drive
         # panel_addback at suite-sized matrices (ADVICE r3).
         return "pallas"
+    if mode == "vmem":
+        # Forced vmem needs a kernel shape class; groups analyze deemed
+        # ineligible (temps/budgets) fall back to the auto ladder.
+        if sched.vmem_shape[gi] is not None:
+            return "vmem"
+    if sched.use_vmem[gi]:
+        return "vmem"
     if sched.use_pallas[gi]:
         return "pallas"
     return "delta" if sched.use_delta[gi] else "element"
 
 
 def _pallas_pad(sched: SupernodalSchedule, mode: str) -> int:
-    """lvals padding needed so every pallas add-back column run (padded
-    and pow2-quantised) stays in bounds."""
-    pads = [_colq(sched.delta_rmax[gi]) + 1024
-            for gi in range(sched.n_groups)
-            if _group_delta(sched, gi, mode) == "pallas"]
-    return max(pads, default=0)
+    """lvals padding needed so every pallas/vmem add-back column window
+    (padded and quantised) stays in bounds."""
+    pads = [0]
+    for gi in range(sched.n_groups):
+        gm = _group_delta(sched, gi, mode)
+        if gm == "pallas":
+            pads.append(_colq(sched.delta_rmax[gi]) + 1024)
+        elif gm == "vmem":
+            pads.append(sched.vmem_shape[gi][1])
+    return max(pads)
 
 
 def _needs_win_pad(sched: SupernodalSchedule, window) -> bool:
@@ -946,10 +1043,12 @@ def _factorize_supernodal_whole(sched: SupernodalSchedule,
     lvals = _init_lvals(sched, a_values, pad)
     scratch = sched.nnz_l
     for gi in range(sched.n_groups):
+        sm = _group_delta(sched, gi, scatter_mode)
         lvals = _run_group(lvals, _group_tabs(sched, gi),
                            sched.panel_rmax[gi], sched.delta_rmax[gi],
                            scratch, _group_window(sched, gi, window),
-                           _group_delta(sched, gi, scatter_mode))
+                           sm,
+                           sched.vmem_shape[gi] if sm == "vmem" else None)
     return lvals[: sched.nnz_l]
 
 

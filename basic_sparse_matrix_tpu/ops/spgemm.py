@@ -584,7 +584,16 @@ def _plan_numeric(plan: "_SpgemmPlan", vals_a, vals_b):
                     mt.rounds)
             return _spgemm_mergetree_vals(vals_a, vals_b, maps, mt.sizes,
                                           plan.nnz_c, mt.w)
-    if get_config().spgemm_numeric == "rowgather" and plan.rowg is not None:
+    numeric = get_config().spgemm_numeric
+    # "auto": rowgather only in its measured winning regime — UNIFORM B
+    # rows, where the B-ELL view is a free reshape and the issue count is
+    # ~E + nnz_a. With ragged B the ELL build is an E-sized element
+    # gather and rowgather measured 0.78x of planned (BENCH_RESULTS r5),
+    # so auto stays on planned there.
+    use_rowg = plan.rowg is not None and (
+        numeric == "rowgather"
+        or (numeric == "auto" and plan.rowg["uniform"]))
+    if use_rowg:
         rg = plan.rowg
         return _spgemm_rowgather_vals(
             vals_a, vals_b, (rg["xa"], rg["ell_map"], rg["perm"], plan.dst),

@@ -45,7 +45,14 @@ def _split(a: np.ndarray, num: int, pad_value) -> np.ndarray:
 
 
 def factorize_supernodal_sharded(sched: SupernodalSchedule, a_values,
-                                 mesh) -> jax.Array:
+                                 mesh, *, chunk_groups: int = 0
+                                 ) -> jax.Array:
+    """Distributed numeric phase. ``chunk_groups > 0`` bounds each compiled
+    program to that many schedule groups (the distributed analogue of the
+    single-device ``_groups_chunk`` protocol): ND schedules at n >= 10^4
+    have hundreds of distinct-shape groups, and one whole-schedule program
+    is an unboundedly large XLA compile; chunked programs carry the
+    replicated factor array between launches instead."""
     num = mesh.shape[ROWS]
     scratch = sched.nnz_l
     n = sched.n
@@ -98,41 +105,76 @@ def factorize_supernodal_sharded(sched: SupernodalSchedule, a_values,
         fix = fix.at[-1].set(0.0)
         return lvals + jax.lax.psum(fix, ROWS)
 
-    def body(ubase, umeta, uir, uib, ujr, ujcp, pcp, pr, tval, a_vals):
+    def run_group(lvals, tabs, R):
+        """``tabs`` local: (g, M_local, ...) — scan over g levels."""
+        if tabs[0].shape[0] == 1:
+            return level_step(lvals, tuple(t[0] for t in tabs), R)
+        lvals, _ = jax.lax.scan(
+            lambda lv, t, _R=R: (level_step(lv, t, _R), None),
+            lvals, tabs)
+        return lvals
+
+    all_tabs = (ubase, umeta, uir, uib, ujr, ujcp, pcp, pr, tval)
+
+    if not chunk_groups:
+        def body(ubase, umeta, uir, uib, ujr, ujcp, pcp, pr, tval, a_vals):
+            lvals = jnp.zeros(sched.nnz_l + 1, dtype=jnp.float32)
+            lvals = lvals.at[sched.a_src_pos].add(
+                a_vals[sched.a_vals_idx].astype(jnp.float32))
+            local_tabs = (ubase, umeta, uir, uib, ujr, ujcp, pcp, pr,
+                          tval)
+            for gi in range(nlev):
+                # local tables: (g, 1, M_local, ...) → drop the local
+                # device axis, scan over g
+                tabs = tuple(t[gi][:, 0]
+                             for t in local_tabs)
+                lvals = run_group(lvals, tabs, sched.panel_rmax[gi])
+            return lvals[:-1]
+
+        spec = lambda tables: tuple(P(None, ROWS)          # noqa: E731
+                                    for _ in tables)
+        f = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(spec(ubase), spec(umeta), spec(uir), spec(uib),
+                      spec(ujr), spec(ujcp), spec(pcp), spec(pr),
+                      spec(tval), P()),
+            out_specs=P(),
+        )
+        return jax.jit(f)(ubase, umeta, uir, uib, ujr, ujcp, pcp, pr,
+                          tval, a_vals)
+
+    # ---- chunked: one bounded program per chunk_groups schedule groups ----
+    def init_body(a_vals):
         lvals = jnp.zeros(sched.nnz_l + 1, dtype=jnp.float32)
-        lvals = lvals.at[sched.a_src_pos].add(
+        return lvals.at[sched.a_src_pos].add(
             a_vals[sched.a_vals_idx].astype(jnp.float32))
 
-        for gi in range(nlev):
-            # local tables: (g, 1, M_local, ...) → scan over g, drop the
-            # local device axis
-            tabs = tuple(t[gi][:, 0]
-                         for t in (ubase, umeta, uir, uib, ujr, ujcp,
-                                   pcp, pr, tval))
-            R = sched.panel_rmax[gi]
-            if tabs[0].shape[0] == 1:
-                lvals = level_step(lvals, tuple(t[0] for t in tabs), R)
-            else:
-                lvals, _ = jax.lax.scan(
-                    lambda lv, t, _R=R: (level_step(lv, t, _R), None),
-                    lvals, tabs)
+    lvals = jax.jit(jax.shard_map(init_body, mesh=mesh, in_specs=(P(),),
+                                  out_specs=P()))(a_vals)
 
-        return lvals[:-1]
+    for c0 in range(0, nlev, chunk_groups):
+        gis = tuple(range(c0, min(c0 + chunk_groups, nlev)))
+        tabs_chunk = tuple(tuple(tab[gi] for tab in all_tabs)
+                           for gi in gis)
+        rs = tuple(sched.panel_rmax[gi] for gi in gis)
 
-    spec = lambda tables: tuple(P(None, ROWS) for _ in tables)  # noqa: E731
-    f = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(spec(ubase), spec(umeta), spec(uir), spec(uib),
-                  spec(ujr), spec(ujcp), spec(pcp), spec(pr), spec(tval),
-                  P()),
-        out_specs=P(),
-    )
-    return jax.jit(f)(ubase, umeta, uir, uib, ujr, ujcp, pcp, pr, tval,
-                      a_vals)
+        def chunk_body(tabs_chunk, lvals, _rs=rs):
+            for tabs, R in zip(tabs_chunk, _rs):
+                lvals = run_group(lvals, tuple(t[:, 0] for t in tabs), R)
+            return lvals
+
+        in_specs = (tuple(tuple(P(None, ROWS) for _ in all_tabs)
+                          for _ in gis), P())
+        f = jax.shard_map(chunk_body, mesh=mesh, in_specs=in_specs,
+                          out_specs=P())
+        lvals = jax.jit(f)(tabs_chunk, lvals)
+    return lvals[:-1]
 
 
-def cholesky_supernodal_distributed(a: CSR, mesh, *, relax: int = 0) -> CSR:
+def cholesky_supernodal_distributed(a: CSR, mesh, *, relax: int = 0,
+                                    chunk_groups: int = 0) -> CSR:
     sched = analyze_supernodal(a, relax=relax)
     lvals = np.asarray(
-        jax.device_get(factorize_supernodal_sharded(sched, a.values, mesh)))
+        jax.device_get(factorize_supernodal_sharded(
+            sched, a.values, mesh, chunk_groups=chunk_groups)))
     return assemble_factor(a, lvals, sched)

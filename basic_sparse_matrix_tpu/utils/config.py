@@ -64,8 +64,10 @@ class Config:
     # in-register — U·I·J scatter issues at ~10 ns each), "delta" (embed
     # updates into their target panels' dense trapezoid rects via one-hot
     # MXU matmuls, merge per target, ONE affine rect scatter — St·Rd·Wt
-    # issues), or "auto" (host picks per level by padded element count;
-    # see models/supernodal._delta_scatter). Gate on chip with
+    # issues), "pallas" (per-column DMA add-back), "vmem" (whole factor
+    # array VMEM-resident, per-column roll+add — r5,
+    # ops/pallas/addback_resident), or "auto" (host picks per level by a
+    # cost model; see models/supernodal). Gate on chip with
     # benchmarks/level_step_probe.py before changing the default.
     supernodal_scatter: str = "auto"
     ordering: str = "auto"          # fill ordering: auto|rcm|nd|natural

@@ -332,6 +332,48 @@ def main():
     pdt = measure_loop(make_loop(ss_mul_planned_step), (pa,), pb.values,
                        i1=5, i2=45, reps=2)
 
+    # Long-row regime (VERDICT r4 item 6): B has 64 entries per row,
+    # E = 12.8M — the workload where the SpGEMM numeric frontier lives
+    # (planned vs rowgather; BENCH_RESULTS r5 settles mergetree/chunked
+    # as near-ties). Plans build on host outside the loop; the step is
+    # transfer-free. Minimal iteration counts keep the bench < 10 min.
+    _lr_rng = np.random.default_rng(7000)
+    _lr_n = 100_000
+    _lr_a = CSR.from_coo_arrays(
+        (_lr_n, _lr_n), _lr_rng.integers(0, _lr_n, 200_000),
+        _lr_rng.integers(0, _lr_n, 200_000),
+        (_lr_rng.integers(0, 2**32, 200_000) % 255 + 1).astype(np.float32))
+    _lr_b = CSR.from_coo_arrays(
+        (_lr_n, _lr_n), np.repeat(np.arange(_lr_n), 64),
+        _lr_rng.integers(0, _lr_n, 64 * _lr_n),
+        (_lr_rng.integers(0, 2**32, 64 * _lr_n) % 255 + 1).astype(
+            np.float32))
+    _lr_plan = _sg._SpgemmPlan(_lr_a, _lr_b)
+
+    def lr_planned_step(operand, carry):
+        out = _sg._spgemm_planned_vals(
+            operand[0].values, carry,
+            (_lr_plan.dst, _lr_plan.src_a, _lr_plan.src_b),
+            _lr_plan.nnz_c)
+        return out[: _lr_b.stored]
+
+    lrdt = measure_loop(make_loop(lr_planned_step), (_lr_a,),
+                        _lr_b.values, i1=1, i2=5, reps=2)
+    _lr_rg = _lr_plan.rowg
+    rgdt = None
+    if _lr_rg is not None:
+        _rg_maps = (_lr_rg["xa"], _lr_rg["ell_map"], _lr_rg["perm"],
+                    _lr_plan.dst)
+
+        def lr_rowgather_step(operand, carry):
+            out = _sg._spgemm_rowgather_vals(
+                operand[0].values, carry, _rg_maps, _lr_plan.nnz_c,
+                _lr_rg["wB"], _lr_rg["uniform"])
+            return out[: _lr_b.stored]
+
+        rgdt = measure_loop(make_loop(lr_rowgather_step), (_lr_a,),
+                            _lr_b.values, i1=1, i2=5, reps=2)
+
     # ---- direct-solve sub-metrics: banded scan + BCR at the n=4096 shape -
     # The flagship solve path (BENCH_RESULTS.md r2): the RCM-ordered 64x64
     # 2D Laplacian is block-tridiagonal at nb=64, m=64. SPD blocks of that
@@ -463,6 +505,9 @@ def main():
             "ss_mul_planned_elements_per_s": float(
                 f"{PNNZ / pdt:.4g}"),
             "ss_mul_planned_s": float(f"{pdt:.4g}"),
+            "ss_mul_longrow_planned_s": float(f"{lrdt:.4g}"),
+            "ss_mul_rowgather_s": (
+                float(f"{rgdt:.4g}") if rgdt is not None else None),
         },
         "solve": {
             "banded_factor_4096_ms": float(f"{fdt * 1e3:.4g}"),

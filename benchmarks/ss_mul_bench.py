@@ -252,6 +252,54 @@ def main():
         results["longrow_rowgather_vs_planned"] = float(
             f"{lpdt / lrdt:.4g}")
         results["longrow_rowgather_vs_scipy"] = float(f"{best / lrdt:.4g}")
+
+    # UNIFORM-B long-row regime: same shape but B's 64 columns per row are
+    # DISTINCT, so CSR dedup drops nothing and the B-ELL view is a free
+    # reshape — the rowgather numeric's intended regime (~E + nnz_a scalar
+    # issues; with ragged rows it degenerates to an E-sized element gather
+    # and loses to planned, measured r5).
+    cbu = np.sort(rng.integers(0, n_lr - 64, (n_lr, 64)), axis=1) \
+        + np.arange(64)[None, :]
+    vbu = (rng.integers(0, 2**32, 64 * n_lr) % 255 + 1).astype(np.float32)
+    lbu = CSR.from_coo_arrays((n_lr, n_lr), rb, cbu.ravel(), vbu)
+    Bu_ = sp.coo_matrix((vbu, (rb, cbu.ravel())),
+                        shape=(n_lr, n_lr)).tocsr()
+    u_stats = _timed_matmat(A_, Bu_, reps=9)
+    results["cpu_scipy_uniform_s"] = float(f"{u_stats['best']:.4g}")
+    results["cpu_scipy_uniform_stats"] = {
+        k: (float(f"{v:.4g}") if isinstance(v, float) else v)
+        for k, v in u_stats.items()}
+    uplan = _sg._SpgemmPlan(la, lbu)
+    results["uniform_expansion"] = uplan.expansion
+    rgu = uplan.rowg
+    results["uniform_rowgather_uniform"] = (rgu["uniform"]
+                                            if rgu is not None else None)
+
+    def up_step(operand, carry):
+        out = _sg._spgemm_planned_vals(
+            operand[0].values, carry,
+            (uplan.dst, uplan.src_a, uplan.src_b), uplan.nnz_c)
+        return out[: lbu.stored]
+
+    updt = measure_loop(make_loop(up_step), (la,), lbu.values, i1=3,
+                        i2=23, reps=2)
+    results["tpu_uniform_planned_s"] = float(f"{updt:.4g}")
+    if rgu is not None:
+        urmaps = (rgu["xa"], rgu["ell_map"], rgu["perm"], uplan.dst)
+
+        def ur_step(operand, carry):
+            out = _sg._spgemm_rowgather_vals(
+                operand[0].values, carry, urmaps, uplan.nnz_c, rgu["wB"],
+                rgu["uniform"])
+            return out[: lbu.stored]
+
+        urdt = measure_loop(make_loop(ur_step), (la,), lbu.values, i1=3,
+                            i2=23, reps=2)
+        results["tpu_uniform_rowgather_s"] = float(f"{urdt:.4g}")
+        results["uniform_rowgather_vs_planned"] = float(
+            f"{updt / urdt:.4g}")
+        results["uniform_rowgather_vs_scipy"] = float(
+            f"{u_stats['best'] / urdt:.4g}")
     print(json.dumps({
         "metric": "ss_mul_head_to_head",
         "results": results,

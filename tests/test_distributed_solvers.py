@@ -190,3 +190,24 @@ def test_tsqr_sharded_matches_single(mesh8):
     _, r1 = tsqr(a)
     s = np.sign(np.diagonal(r)) * np.sign(np.diagonal(np.asarray(r1)))
     assert np.abs(r * s[:, None] - np.asarray(r1)).max() < 2e-3
+
+
+def test_distributed_supernodal_chunked_matches_whole(mesh8):
+    """chunk_groups splits the schedule into bounded programs; results
+    must match the whole-program path bit-for-bit semantics (same level
+    math, same psum merges)."""
+    import jax
+
+    from basic_sparse_matrix_tpu.models.supernodal import analyze_supernodal
+    from basic_sparse_matrix_tpu.parallel.supernodal import (
+        factorize_supernodal_sharded,
+    )
+
+    a = CSR.from_dense(_lap2d(6))
+    sched = analyze_supernodal(a)
+    whole = np.asarray(jax.device_get(
+        factorize_supernodal_sharded(sched, a.values, mesh8)))
+    chunked = np.asarray(jax.device_get(
+        factorize_supernodal_sharded(sched, a.values, mesh8,
+                                     chunk_groups=2)))
+    assert np.allclose(whole, chunked, rtol=1e-6, atol=1e-7)
