@@ -121,6 +121,12 @@ class SupernodalSchedule:
     vmem_shape: Tuple = dataclasses.field(metadata=dict(static=True))
     use_vmem: Tuple[bool, ...] = dataclasses.field(
         metadata=dict(static=True))
+    # static matrix-level kernel-read class table ((l_pad, crq), ...) for
+    # ops.pallas.runs_read — empty when the factor array does not fit
+    # VMEM. Non-empty => config supernodal_gather auto routes ALL reads
+    # through the resident-run kernel (~10-100 ns per run vs ~0.8 us per
+    # vmapped-dynamic_slice window issue, ~6 ns/elem element gathers).
+    kread: Tuple = dataclasses.field(metadata=dict(static=True))
     # static per-group: window gathers win the read side (long runs; a
     # window issue costs ~0.8 us vs ~6 ns per element, break-even around
     # I+J ~ 144 — measured on chip, see BENCH_RESULTS r4)
@@ -155,7 +161,7 @@ jax.tree_util.register_dataclass(
                  "flat_bool"],
     meta_fields=["layout", "panel_rmax", "delta_rmax", "use_delta",
                  "use_pallas", "use_window", "nnz_l", "n", "vmem_shape",
-                 "use_vmem"],
+                 "use_vmem", "kread"],
 )
 
 # Scatter-element floor below which the pallas add-back cannot amortise
@@ -169,6 +175,21 @@ _VMEM_LVALS_BUDGET = 60 * 2**20          # nnz_l * 4 bytes
 _VMEM_PSH_BUDGET = 24 * 2**20            # unpadded St*Wt*col_pad*4 bytes
 _VMEM_COL_CLASSES = (512, 2048, 8192)    # col_pad quantisation
 _VMEM_CQ_CAP = {512: 1 << 14, 2048: 1 << 12, 8192: 1 << 10}
+
+# Kernel-read (ops.pallas.runs_read) run-length classes and the run-count
+# cap (SMEM start-table budget). Same lvals VMEM budget as the scatter.
+# pow2 classes: the kernel's Mosaic compile is ~0.5 s/shape (measured
+# r5), so class count is not the constraint — per-run roll work and
+# out-block writes scale with the class, so keep it tight.
+_KREAD_CLASSES = (128, 256, 512, 1024, 2048, 4096, 8192)
+_KREAD_CR_CAP = 1 << 17
+
+
+def _kread_lpad(L: int):
+    for c in _KREAD_CLASSES:
+        if c >= max(int(L), 1):
+            return c
+    return None
 
 
 def _pow2(x: int) -> int:
@@ -241,7 +262,23 @@ def _win(lvals, starts, L: int):
         lambda s: jax.lax.dynamic_slice(lvals, (s,), (L,))))(starts)
 
 
-def _upd_windows(lvals, base, meta, scratch, I: int, J: int):
+def _win_k(lvals, starts, L: int, kread):
+    """Run reads through the VMEM-resident kernel when the matrix has a
+    class for this run length (``kread`` is the schedule's static class
+    table); vmapped-dynamic_slice windows otherwise. The ~0.8 us/issue
+    window dispatch vs ~10-100 ns/run in the kernel is the r5 read-side
+    lever (PERF_NOTES)."""
+    if kread:
+        lp = _kread_lpad(L)
+        u, w = starts.shape
+        if lp is not None and u * w <= _KREAD_CR_CAP:
+            from ..ops.pallas.runs_read import win_kernel
+
+            return win_kernel(lvals, starts, L, lp)
+    return _win(lvals, starts, L)
+
+
+def _upd_windows(lvals, base, meta, scratch, I: int, J: int, kread=()):
     """Window-gather form of the update reads (A, B operands of the level
     einsum). ``lvals`` must carry >= max(I, J) zero padding past the
     scratch slot so clamped slices stay in the pad; lanes beyond each
@@ -252,28 +289,31 @@ def _upd_windows(lvals, base, meta, scratch, I: int, J: int):
     vb = base != scratch
     ii = jnp.arange(I, dtype=jnp.int32)
     jj = jnp.arange(J, dtype=jnp.int32)
-    A = jnp.swapaxes(_win(lvals, base, I), 1, 2)          # (U, I, W)
+    sbase = jnp.where(vb, base, -1)   # kernel skips dead runs; mask below
+    A = jnp.swapaxes(_win_k(lvals, sbase, I, kread), 1, 2)  # (U, I, W)
     A = jnp.where((ii[None, :, None] < ni[:, None, None])
                   & vb[:, None, :], A, 0.0)
-    B = jnp.swapaxes(_win(lvals, base, J), 1, 2)          # (U, J, W)
+    B = jnp.swapaxes(_win_k(lvals, sbase, J, kread), 1, 2)  # (U, J, W)
     B = jnp.where((jj[None, :, None] < nj[:, None, None])
                   & vb[:, None, :], B, 0.0)
     return A, B
 
 
-def _panel_windows(lvals, cp, tv, r_tab, R: int):
+def _panel_windows(lvals, cp, tv, r_tab, R: int, kread=()):
     """Window-gather form of the panel reads (top triangle + below block).
     T[s, i, j] = lvals[cp[s, j] + i - j] → per-(s, j) window at cp - j;
     B[s, r, j] = lvals[cp[s, j] + w_s - j + r] → window at cp + w_s - j."""
     S, W = cp.shape
     il = jnp.arange(W, dtype=jnp.int32)
     w = tv.sum(axis=-1).astype(jnp.int32)
-    T = jnp.swapaxes(_win(lvals, cp - il[None, :], W), 1, 2)   # (S, i, j)
+    T = jnp.swapaxes(_win_k(lvals, cp - il[None, :], W, kread),
+                     1, 2)                                     # (S, i, j)
     tri = tv[:, :, None] & tv[:, None, :] & (
         il[:, None] >= il[None, :])[None]
     T = jnp.where(tri, T, 0.0)
     Bp = jnp.swapaxes(
-        _win(lvals, cp + w[:, None] - il[None, :], R), 1, 2)   # (S, R, W)
+        _win_k(lvals, cp + w[:, None] - il[None, :], R, kread),
+        1, 2)                                                  # (S, R, W)
     bmask = tv[:, None, :] & (
         jnp.arange(R, dtype=jnp.int32)[None, :, None]
         < r_tab[:, None, None])
@@ -722,8 +762,38 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
     cls_cq = {cc: _pow2(m) for cc, m in cls_max_cols.items()}
     vmem_shape = tuple((cls_cq[cc], cc) if cc is not None else None
                        for cc in g_class)
-    use_vmem = tuple(cc is not None and vm_win[lv]
+    # Auto-route only groups whose own (cols x col_need) footprint is
+    # within 8x of the class shape: a tiny group padded to the class's
+    # (CQ, col_pad) pays the full psh memset/DMA + dead-column loop per
+    # LEVEL (~0.3 ms measured r5 k=33 chunk 4, where class padding turned
+    # the vmem win into a 35% regression); its scatter is small anyway.
+    def _pad_ok(cc, lv):
+        return (cls_cq[cc] * cc
+                <= 8 * max(vm_cols[lv] * vm_colneed[lv], 1))
+    use_vmem = tuple(cc is not None and vm_win[lv] and _pad_ok(cc, lv)
                      for cc, lv in zip(g_class, _group_starts))
+
+    # ---- kernel-read classes (ops.pallas.runs_read) ----
+    # Every read in the numeric phase is a contiguous run whose length is
+    # a static table shape: A runs of I, B runs of J, panel-top runs of
+    # Wl, below-block runs of R — with U*W / S*Wl runs each. Collect the
+    # (run-length class -> max run count) table; the kernel needs one
+    # Mosaic compile per class.
+    kread_needs: dict = {}
+    if lvals_fit:
+        for gi in range(len(grouped[0])):
+            _, U_, W_ = grouped[0][gi].shape      # upd_base (g, U, W)
+            I_ = grouped[2][gi].shape[2]          # upd_irows (g, U, I)
+            J_ = grouped[4][gi].shape[2]          # upd_jrows (g, U, J)
+            _, S_, Wl_ = grouped[6][gi].shape     # panel_cp (g, S, Wl)
+            R_ = max(rmax[_group_starts[gi]], 1)
+            for L_, cr in ((I_, U_ * W_), (J_, U_ * W_),
+                           (Wl_, S_ * Wl_), (R_, S_ * Wl_)):
+                lp = _kread_lpad(L_)
+                if lp is not None and cr <= _KREAD_CR_CAP:
+                    kread_needs[lp] = max(kread_needs.get(lp, 256), cr)
+    kread = tuple(sorted((lp, max(_pow2(m), 256))
+                         for lp, m in kread_needs.items()))
 
     sched = SupernodalSchedule(
         a_src_pos=jnp.asarray(a_src_pos.astype(np.int32)),
@@ -740,6 +810,7 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
         use_window=tuple(use_window[lv] for lv in _group_starts),
         vmem_shape=vmem_shape,
         use_vmem=use_vmem,
+        kread=kread,
         nnz_l=nnz_l,
         n=n,
     )
@@ -851,7 +922,7 @@ def _delta_scatter(lvals, u3, meta, irows, ibelow, jrows,
 
 def _level_step(lvals, tabs, R: int, Rd: int, scratch: int,
                 window: bool = False, smode: str = "element",
-                vshape=None):
+                vshape=None, kread=()):
     """One fan-in level: batched MXU panel updates + panel finalisation.
     ``tabs`` holds the COMPACT per-level tables; the full position arrays
     are rebuilt in-register (integer VPU work instead of 3 GB-scale HBM
@@ -868,7 +939,7 @@ def _level_step(lvals, tabs, R: int, Rd: int, scratch: int,
     J = jrows.shape[1]
     # 1) batched panel-outer-product updates on the MXU
     if window:
-        A, B = _upd_windows(lvals, base, meta, scratch, I, J)
+        A, B = _upd_windows(lvals, base, meta, scratch, I, J, kread)
     else:
         ga, gb, _ = _upd_positions(base, meta, irows, ibelow, jrows, jcp,
                                    scratch, build_scatter=False)
@@ -889,7 +960,7 @@ def _level_step(lvals, tabs, R: int, Rd: int, scratch: int,
     # 2) batched panel finalisation
     tp, bp = _panel_positions(cp, r_tab, tv, R, scratch)
     if window:
-        T, Bp = _panel_windows(lvals, cp, tv, r_tab, R)
+        T, Bp = _panel_windows(lvals, cp, tv, r_tab, R, kread)
     else:
         T = lvals[tp]                          # (S, W, W) lower part
         Bp = lvals[bp]                         # (S, R, W)
@@ -929,13 +1000,16 @@ def _tab_shape(sched: SupernodalSchedule, gi: int, name: str):
 
 def _win_pad(sched: SupernodalSchedule) -> int:
     """Zero padding past the scratch slot so window gathers never clamp
-    into live data: the longest window any group issues."""
+    into live data: the longest window any group issues. Kernel-read
+    windows extend to the run-length class + one extra vreg row."""
     pad = 1
     for gi in range(sched.n_groups):
         pad = max(pad, _tab_shape(sched, gi, "upd_irows")[2],
                   _tab_shape(sched, gi, "upd_jrows")[2],
                   _tab_shape(sched, gi, "panel_cp")[2],
                   sched.panel_rmax[gi])
+    if sched.kread:
+        pad = max(pad, max(lp for lp, _ in sched.kread) + 256)
     return pad
 
 
@@ -948,13 +1022,14 @@ def _init_lvals(sched: SupernodalSchedule, a_values: jax.Array,
 
 
 def _run_group(lvals, tabs, R: int, Rd: int, scratch: int,
-               window: bool, smode: str, vshape=None):
+               window: bool, smode: str, vshape=None, kread=()):
     if tabs[0].shape[0] == 1:
         return _level_step(lvals, tuple(t[0] for t in tabs), R, Rd,
-                           scratch, window, smode, vshape)
+                           scratch, window, smode, vshape, kread)
     lvals, _ = jax.lax.scan(
         lambda lv, t, _R=R, _Rd=Rd: (
-            _level_step(lv, t, _R, _Rd, scratch, window, smode, vshape),
+            _level_step(lv, t, _R, _Rd, scratch, window, smode, vshape,
+                        kread),
             None),
         lvals, tabs)
     return lvals
@@ -968,10 +1043,12 @@ def _groups_chunk(sched, lvals, gis, smodes, window=False):
     is a bool or "auto" (per-group host choice, _group_window)."""
     scratch = sched.nnz_l
     for gi, sm in zip(gis, smodes):
+        win, kr = _group_read(sched, gi, window)
         lvals = _run_group(lvals, _group_tabs(sched, gi),
                            sched.panel_rmax[gi], sched.delta_rmax[gi],
-                           scratch, _group_window(sched, gi, window), sm,
-                           sched.vmem_shape[gi] if sm == "vmem" else None)
+                           scratch, win, sm,
+                           sched.vmem_shape[gi] if sm == "vmem" else None,
+                           kr)
     return lvals
 
 
@@ -984,6 +1061,21 @@ def _group_window(sched: SupernodalSchedule, gi: int, window) -> bool:
     if window == "auto":
         return bool(sched.use_window[gi])
     return bool(window)
+
+
+def _group_read(sched: SupernodalSchedule, gi: int, window):
+    """Resolve (window?, kread table) per group. When the matrix has
+    kernel-read classes (``sched.kread`` non-empty — lvals fits VMEM)
+    and config is "auto"/"kernel", EVERY group reads through the
+    resident-run kernel: a kernel run costs ~10-100 ns against ~6 ns per
+    ELEMENT gather, so runs of >= a few elements always win — the
+    element/window break-even that `use_window` encodes only applies to
+    the 0.8 us vmapped-dynamic_slice dispatch."""
+    if window in ("auto", "kernel") and sched.kread:
+        return True, sched.kread
+    if window == "kernel":   # forced but matrix has no classes
+        return True, ()
+    return _group_window(sched, gi, window), ()
 
 
 def _group_delta(sched: SupernodalSchedule, gi: int, mode: str) -> str:
@@ -1028,8 +1120,8 @@ def _pallas_pad(sched: SupernodalSchedule, mode: str) -> int:
 
 
 def _needs_win_pad(sched: SupernodalSchedule, window) -> bool:
-    if window == "auto":
-        return any(sched.use_window)
+    if window in ("auto", "kernel"):
+        return any(sched.use_window) or bool(sched.kread)
     return bool(window)
 
 
@@ -1044,11 +1136,12 @@ def _factorize_supernodal_whole(sched: SupernodalSchedule,
     scratch = sched.nnz_l
     for gi in range(sched.n_groups):
         sm = _group_delta(sched, gi, scatter_mode)
+        win, kr = _group_read(sched, gi, window)
         lvals = _run_group(lvals, _group_tabs(sched, gi),
                            sched.panel_rmax[gi], sched.delta_rmax[gi],
-                           scratch, _group_window(sched, gi, window),
-                           sm,
-                           sched.vmem_shape[gi] if sm == "vmem" else None)
+                           scratch, win, sm,
+                           sched.vmem_shape[gi] if sm == "vmem" else None,
+                           kr)
     return lvals[: sched.nnz_l]
 
 

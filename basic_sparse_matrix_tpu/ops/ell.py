@@ -229,7 +229,7 @@ def spmm_ell_from_csr(a: CSR, b: jax.Array) -> jax.Array:
             and a.stored >= (1 << 18)):
         from .pallas.stream_kernel import spmm_stream, stream_plan_from_ell
 
-        plan = stream_plan_from_ell(ell)
+        plan = stream_plan_from_ell(ell, int(b.shape[1]))
         if plan is not None:
             return spmm_stream(plan, b, unroll=cfg.ell_stream_unroll)
     return spmm_ell(ell, b)

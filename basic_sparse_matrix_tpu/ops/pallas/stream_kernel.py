@@ -348,15 +348,38 @@ def spmm_stream(plan: StreamPlan, b: jax.Array,
     return out[: plan.rows, : b.shape[1]]
 
 
-def stream_plan_from_ell(ell) -> Optional[StreamPlan]:
-    """Build (and memoise on the ELL instance) a streaming plan.
+def pick_tile_m(rows: int, n_rhs: int) -> int:
+    """C-tile height by matrix size and RHS width. B re-streams once per
+    ROW TILE, so at 1M rows the tile height is the lever on HBM traffic:
+    measured on chip (r5, 1M x 32 x 512 RHS) tile_m 4096 loses to the
+    ELL gather path (0.695 s vs 0.402 — 245 B sweeps), 16384 wins 1.64x
+    (0.244 s, 62 sweeps), 32768 OOMs VMEM (the C tile is double-buffered:
+    2*(tile_m + tile_k)*ns*4 bytes must fit the 128 MB scope). At 100k
+    rows tile size measured flat (issue-bound) — keep the 4096 default."""
+    ns = -(-max(n_rhs, 128) // 128) * 128
+    budget = 110 * 2**20
+    cand = (16384, 8192, 4096) if rows >= (1 << 19) else (4096,)
+    for tm in cand:
+        if 2 * (tm + DEFAULT_TILE_K) * ns * 4 <= budget:
+            return tm
+    return 2048
+
+
+def stream_plan_from_ell(ell, n_rhs: int = 512) -> Optional[StreamPlan]:
+    """Build (and memoise on the ELL instance, per C-tile height) a
+    streaming plan.
 
     The plan is built from the HOST mirrors ``csr_to_ell`` caches on the
     ELL — never from a device fetch: device->host transfers beyond a few
     KB hang on this transport (CLAUDE.md), and the entry arrays are tens
     of MB at the target 1M-row shape. Returns ``None`` (caller falls back
     to the gather path) when no host mirror exists."""
-    plan = getattr(ell, "_stream_plan", None)
+    tile_m = pick_tile_m(ell.n_rows, n_rhs)
+    plans = getattr(ell, "_stream_plans", None)
+    if plans is None:
+        plans = {}
+        object.__setattr__(ell, "_stream_plans", plans)
+    plan = plans.get(tile_m)
     if plan is None:
         cols = getattr(ell, "_host_cols", None)
         vals = getattr(ell, "_host_vals", None)
@@ -364,6 +387,6 @@ def stream_plan_from_ell(ell) -> Optional[StreamPlan]:
             return None
         rows = np.repeat(np.arange(ell.n_rows), cols.shape[1])
         plan = build_stream_plan(rows, cols.ravel(), vals.ravel(),
-                                 ell.n_rows, ell.n_cols)
-        object.__setattr__(ell, "_stream_plan", plan)
+                                 ell.n_rows, ell.n_cols, tile_m=tile_m)
+        plans[tile_m] = plan
     return plan

@@ -59,6 +59,9 @@ class Config:
     # numeric 3.26 s vs 6.24 s r3 element baseline; element additionally
     # cannot compile 48-group programs at this scale (per-element
     # position rebuilds OOM the compile helper), window/auto can.
+    # element | window | kernel | auto. "kernel" (r5) reads runs from a
+    # VMEM-resident factor array (ops/pallas/runs_read) — auto uses it
+    # whenever the schedule built classes for it (lvals fits VMEM).
     supernodal_gather: str = "auto"
     # Supernodal update SCATTER: "element" (per-element positions rebuilt
     # in-register — U·I·J scatter issues at ~10 ns each), "delta" (embed
