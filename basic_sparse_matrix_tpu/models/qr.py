@@ -96,13 +96,24 @@ def tsqr(a, block_rows: int = DEFAULT_TSQR_BLOCK
     return tsqr_dense(arr, block_rows)
 
 
+# TSQR routing threshold, calibrated on chip (benchmarks/tsqr_bench.py,
+# r5): XLA's blocked Householder QR is strong on this target — TSQR wins
+# only at extreme tall-skinny shapes (1.16x at 2^20 x 64) and LOSES
+# 2.4-4x at aspect ratios 4-256 with n=256. The r4 "rows >= 4*cols"
+# guess routed the losing regime through TSQR.
+TSQR_MIN_ASPECT = 4096
+
+
 def qr_decomp(a: CSR) -> Tuple[CSR, CSR]:
     """QR of a CSR matrix — reference ``qr_decomp`` (sparse.rs:716-756).
     Returns (Q, R) as CSR (host re-sparsified, exact zeros dropped).
-    Tall operands (rows >= 4*cols) route through the blocked TSQR tree;
-    near-square ones use XLA's Householder QR directly."""
+    Extreme tall-skinny operands (rows >= TSQR_MIN_ASPECT*cols — see the
+    measured crossover above) route through the blocked TSQR tree;
+    everything else uses XLA's Householder QR directly. (TSQR's main
+    role is the DISTRIBUTED factorization — parallel/tsqr.py — where
+    the single long Householder chain cannot shard.)"""
     _check_densify_budget(a, "qr_decomp")
-    if a.rows >= 4 * a.cols:
+    if a.rows >= TSQR_MIN_ASPECT * a.cols:
         q, r = jax.device_get(tsqr_dense(a.todense()))
     else:
         q, r = jax.device_get(qr_dense(a.todense()))

@@ -52,10 +52,23 @@ BM, BK = 256, 512
 
 
 def main():
+    import sys as _sys
+
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     on_tpu = jax.default_backend() == "tpu"
+
+    _t0 = time.time()
+    _t_last = [_t0]
+
+    def _tick(label):
+        # stderr section timing (the stdout contract is ONE json line)
+        now = time.time()
+        print(f"[bench] {label}: +{now - _t_last[0]:.1f}s "
+              f"(total {now - _t0:.1f}s)", file=_sys.stderr, flush=True)
+        _t_last[0] = now
 
     @jax.jit
     def make_workload(key):
@@ -198,6 +211,7 @@ def main():
 
     hdt = measure_loop(make_loop(hyper_step), (hcols, hvals), hb,
                        i1=3, i2=13, reps=2)
+    _tick("hypersparse_ell")
     h_bytes = hnnz * 8 + hnnz * hrhs * 4 + hrows * hrhs * 4
     h_frac = (h_bytes / HBM_BW) / hdt
 
@@ -218,6 +232,7 @@ def main():
         return carry + s.sum() * 1e-30
 
     gdt = measure_loop(make_loop(gather_step), gidx, hb, i1=2, i2=8, reps=2)
+    _tick("gather_probe")
     gather_gbps = hnnz * hrhs * 4 / gdt / 1e9
     h_frac_measured = (h_bytes / hdt) / (gather_gbps * 1e9)
 
@@ -247,6 +262,7 @@ def main():
 
         stdt = measure_loop(make_loop(stream_step), (s_plan,), hb,
                             i1=2, i2=8, reps=2)
+        _tick("hypersparse_stream")
         stream_frac = (h_bytes / HBM_BW) / stdt
     else:
         # json null off-chip (bare NaN is invalid JSON for strict parsers)
@@ -280,6 +296,7 @@ def main():
 
     adt = measure_loop(make_loop(add_step), (sa,), sb.values,
                        i1=20, i2=220, reps=2)
+    _tick("ss_add_chunked")
 
     def add_planned_step(operand, carry):
         va, vb = operand[0].values, carry
@@ -289,6 +306,7 @@ def main():
 
     apdt = measure_loop(make_loop(add_planned_step), (sa,), sb.values,
                         i1=5, i2=45, reps=2)
+    _tick("ss_add_planned")
 
     # ---- ss_mul (SpGEMM) sub-metrics (VERDICT r2 item 3) ----------------
     # Reference workload: /root/reference/benches/sparse_sparse_mul.rs:6-37
@@ -310,6 +328,7 @@ def main():
 
     mdt = measure_loop(make_loop(ss_mul_dense_step), (ga,), gb_dense,
                        i1=20, i2=220, reps=2)
+    _tick("ss_mul_dense")
 
     # True-sparse planned Gustavson at a scale where densifying B is the
     # wrong choice (n=100k): numeric phase = gather-multiply-scatter on the
@@ -331,22 +350,27 @@ def main():
 
     pdt = measure_loop(make_loop(ss_mul_planned_step), (pa,), pb.values,
                        i1=5, i2=45, reps=2)
+    _tick("ss_mul_planned")
 
-    # Long-row regime (VERDICT r4 item 6): B has 64 entries per row,
-    # E = 12.8M — the workload where the SpGEMM numeric frontier lives
-    # (planned vs rowgather; BENCH_RESULTS r5 settles mergetree/chunked
-    # as near-ties). Plans build on host outside the loop; the step is
-    # transfer-free. Minimal iteration counts keep the bench < 10 min.
+    # Long-row regime (VERDICT r4 item 6): B has 32 entries per row,
+    # E ~ 2.5M — a scaled-down replica of the 100k^2/E=12.8M workload
+    # where the SpGEMM numeric frontier lives (planned vs rowgather;
+    # BENCH_RESULTS r5 settles the full-size numbers and the merge
+    # floor). Scaled down because the full-size host plan build + two
+    # compiles cost ~5 min of bench wall (measured r5) against the
+    # <10 min contract; a regression in either numeric path still moves
+    # these sub-metrics. Plans build on host outside the loop; the step
+    # is transfer-free.
     _lr_rng = np.random.default_rng(7000)
-    _lr_n = 100_000
+    _lr_n = 40_000
     _lr_a = CSR.from_coo_arrays(
-        (_lr_n, _lr_n), _lr_rng.integers(0, _lr_n, 200_000),
-        _lr_rng.integers(0, _lr_n, 200_000),
-        (_lr_rng.integers(0, 2**32, 200_000) % 255 + 1).astype(np.float32))
+        (_lr_n, _lr_n), _lr_rng.integers(0, _lr_n, 80_000),
+        _lr_rng.integers(0, _lr_n, 80_000),
+        (_lr_rng.integers(0, 2**32, 80_000) % 255 + 1).astype(np.float32))
     _lr_b = CSR.from_coo_arrays(
-        (_lr_n, _lr_n), np.repeat(np.arange(_lr_n), 64),
-        _lr_rng.integers(0, _lr_n, 64 * _lr_n),
-        (_lr_rng.integers(0, 2**32, 64 * _lr_n) % 255 + 1).astype(
+        (_lr_n, _lr_n), np.repeat(np.arange(_lr_n), 32),
+        _lr_rng.integers(0, _lr_n, 32 * _lr_n),
+        (_lr_rng.integers(0, 2**32, 32 * _lr_n) % 255 + 1).astype(
             np.float32))
     _lr_plan = _sg._SpgemmPlan(_lr_a, _lr_b)
 
@@ -359,6 +383,7 @@ def main():
 
     lrdt = measure_loop(make_loop(lr_planned_step), (_lr_a,),
                         _lr_b.values, i1=1, i2=5, reps=2)
+    _tick("ss_mul_longrow_planned")
     _lr_rg = _lr_plan.rowg
     rgdt = None
     if _lr_rg is not None:
@@ -373,6 +398,7 @@ def main():
 
         rgdt = measure_loop(make_loop(lr_rowgather_step), (_lr_a,),
                             _lr_b.values, i1=1, i2=5, reps=2)
+        _tick("ss_mul_rowgather")
 
     # ---- direct-solve sub-metrics: banded scan + BCR at the n=4096 shape -
     # The flagship solve path (BENCH_RESULTS.md r2): the RCM-ordered 64x64
@@ -404,6 +430,7 @@ def main():
         return jnp.matmul(L, jnp.swapaxes(L, 1, 2), precision=prec)
 
     fdt = measure_loop(make_loop(factor_step), E4, D4, i1=5, i2=55, reps=2)
+    _tick("banded_factor")
 
     L4, F4 = _banded.cholesky_banded_blocks(D4, E4)
     b4 = jax.random.normal(jax.random.PRNGKey(2),
@@ -414,6 +441,7 @@ def main():
 
     sdt = measure_loop(make_loop(solve_step), (L4, F4), b4,
                        i1=20, i2=220, reps=2)
+    _tick("banded_solve")
 
     # BCR (block cyclic reduction) — the shipping banded backend
     # (config banded_solver=bcr): O(log m) batched stages, timed on the
@@ -433,6 +461,7 @@ def main():
 
     btdt = measure_loop(make_loop(bcr_total_step), (D4, E4full), b4,
                         i1=5, i2=55, reps=2)
+    _tick("bcr")
 
     # ---- general-tier Cholesky sub-metric (VERDICT r3 item 5) -----------
     # Supernodal numeric phase on the 14^3 7-point Laplacian (n=2744) under
@@ -478,6 +507,7 @@ def main():
 
     sndt = measure_loop(make_loop(sn_step), _sn_sched, _sn_lv0,
                         i1=2, i2=10, reps=2)
+    _tick("supernodal")
 
     print(json.dumps({
         "metric": "spmm_sd_mul_elements_per_s",
