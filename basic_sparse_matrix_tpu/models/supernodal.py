@@ -176,6 +176,10 @@ _VMEM_PSH_BUDGET = 24 * 2**20            # unpadded St*Wt*col_pad*4 bytes
 _VMEM_COL_CLASSES = (512, 2048, 8192)    # col_pad quantisation
 _VMEM_CQ_CAP = {512: 1 << 14, 2048: 1 << 12, 8192: 1 << 10}
 
+# Rect-merge temp budget (elements): levels whose one-hot merge temps
+# exceed this scan U-chunks instead (see _delta_scatter).
+_MERGE_CHUNK_ELEMS = 1 << 27
+
 # Kernel-read (ops.pallas.runs_read) run-length classes and the run-count
 # cap (SMEM start-table budget). Same lvals VMEM budget as the scatter.
 # pow2 classes: the kernel's Mosaic compile is ~0.5 s/shape (measured
@@ -651,13 +655,19 @@ def analyze_supernodal(a: CSR, *, relax: int = 0) -> SupernodalSchedule:
                        + St * U * rmax_d * Wt)
         kern_s = vm_c * (col_need // 128) * 8 * 1.06e-9
         dma_s = (nnz_l * 8 + vm_c * col_need * 4) / 700e9
+        # MXU rate for the one-hot merges: ~2e13 MAC/s sustained
+        # (conservative vs the 4.9e13 f32 peak — one-hot operands are
+        # partly bandwidth-bound).
         extra_s = 0.0 if (use_pallas[-1] or use_delta[-1]) \
-            else einsum_macs / 5e12
+            else einsum_macs / 2e13
         incumbent_s = (rect_scatter
                        if (use_pallas[-1] or use_delta[-1])
                        else elem_scatter) * 10e-9
-        temps_ok = (rowmap_mb < 1024
-                    and St * Wt * (col_need + Wt) * 4 < 2**30
+        # No rowmap temp gate here: _delta_scatter scans U-chunks when
+        # the merge temps exceed _MERGE_CHUNK_ELEMS, so big-U separator
+        # levels are vmem-eligible too (their element scatters were the
+        # r5 chunk-5 residual).
+        temps_ok = (St * Wt * (col_need + Wt) * 4 < 2**30
                     and vm_c * col_need * 4 <= _VMEM_PSH_BUDGET)
         vm_fit.append(bool(ups) and temps_ok and col_need <= 8192)
         vm_win.append(use_pallas[-1]
@@ -863,15 +873,41 @@ def _delta_scatter(lvals, u3, meta, irows, ibelow, jrows,
     ri = jnp.where(ii[None, :] < ni[:, None], ri, Rd)        # (U, I)
     rj = jnp.where(jj[None, :] < nj[:, None],
                    jrows - c0s[:, None], Wt)                 # (U, J)
-    rowmap = (ri[:, :, None]
-              == jnp.arange(Rd, dtype=jnp.int32)).astype(u3.dtype)
-    colmap = (rj[:, :, None]
-              == jnp.arange(Wt, dtype=jnp.int32)).astype(u3.dtype)
-    segmap = (seg[None, :].astype(jnp.int32)
-              == jnp.arange(St, dtype=jnp.int32)[:, None]).astype(u3.dtype)
-    d = jnp.einsum("uij,ujw->uiw", u3, colmap, precision=prec)
-    e = jnp.einsum("uir,uiw->urw", rowmap, d, precision=prec)
-    p = jnp.einsum("su,urw->srw", segmap, e, precision=prec)
+
+    def merge_chunk(u3c, ric, rjc, sgc):
+        rowmap = (ric[:, :, None]
+                  == jnp.arange(Rd, dtype=jnp.int32)).astype(u3.dtype)
+        colmap = (rjc[:, :, None]
+                  == jnp.arange(Wt, dtype=jnp.int32)).astype(u3.dtype)
+        segmap = (sgc[None, :].astype(jnp.int32)
+                  == jnp.arange(St, dtype=jnp.int32)[:, None]
+                  ).astype(u3.dtype)
+        d = jnp.einsum("uij,ujw->uiw", u3c, colmap, precision=prec)
+        e = jnp.einsum("uir,uiw->urw", rowmap, d, precision=prec)
+        return jnp.einsum("su,urw->srw", segmap, e, precision=prec)
+
+    # Bound the merge temps (rowmap (U,I,Rd) / d (U,I,Wt) / e (U,Rd,Wt))
+    # by scanning U-chunks when the level is too big to merge at once —
+    # this is what lets the r5 vmem path take the top separator levels
+    # (U~1.8k, Rd=Wt=1293: an unchunked e-temp is 12 GB; the r4 gates
+    # forced those onto ~150 ms of per-element scatters).
+    per_u = max(I * Rd, I * Wt, Rd * Wt, I * J)
+    uc = max(min(_MERGE_CHUNK_ELEMS // max(per_u, 1), Ucnt), 1)
+    nc = -(-Ucnt // uc)
+    if nc > 1:
+        upad = nc * uc - Ucnt
+        u3p = jnp.pad(u3, ((0, upad), (0, 0), (0, 0)))
+        rip = jnp.pad(ri, ((0, upad), (0, 0)), constant_values=Rd)
+        rjp = jnp.pad(rj, ((0, upad), (0, 0)), constant_values=Wt)
+        sgp = jnp.pad(seg.astype(jnp.int32), (0, upad),
+                      constant_values=St)
+        chunks = (u3p.reshape(nc, uc, I, J), rip.reshape(nc, uc, I),
+                  rjp.reshape(nc, uc, J), sgp.reshape(nc, uc))
+        p, _ = jax.lax.scan(
+            lambda acc, ops: (acc + merge_chunk(*ops), None),
+            jnp.zeros((St, Rd, Wt), u3.dtype), chunks)
+    else:
+        p = merge_chunk(u3, ri, rj, seg.astype(jnp.int32))
     if mode == "vmem":
         from ..ops.pallas.addback_resident import (
             addback_resident,
