@@ -62,9 +62,14 @@ def main():
 
     _t0 = time.time()
     _t_last = [_t0]
+    _ticks_on = bool(__import__("os").environ.get("BSM_BENCH_TICKS"))
 
     def _tick(label):
-        # stderr section timing (the stdout contract is ONE json line)
+        # stderr section timing, opt-in via BSM_BENCH_TICKS=1 (the stdout
+        # contract is ONE json line; keep the driver-visible stream
+        # identical to prior rounds by default)
+        if not _ticks_on:
+            return
         now = time.time()
         print(f"[bench] {label}: +{now - _t_last[0]:.1f}s "
               f"(total {now - _t0:.1f}s)", file=_sys.stderr, flush=True)
